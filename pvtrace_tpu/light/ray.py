@@ -1,0 +1,73 @@
+"""Immutable ray record.
+
+Parity: reference ``pvtrace/light/ray.py`` (frozen dataclass with
+position/direction/wavelength/travelled/duration/source; ``propagate``
+advances position and accumulates time of flight; units are centimetres).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional
+
+import numpy as np
+
+# Distance units in pvtrace_tpu are centimetres (reference light/ray.py:12).
+speed_of_light_cm_per_s = 299792458.0 * 100.0
+
+
+@dataclass(frozen=True)
+class Ray:
+    """A ray of light.
+
+    Attributes
+    ----------
+    position : tuple of float
+        The (x, y, z) position.
+    direction : tuple of float
+        Direction unit vector (n_i, n_j, n_k).
+    wavelength : float
+        The wavelength in nanometers.
+    travelled : float
+        Total propagation distance, updated by `propagate`.
+    duration : float
+        Total time propagating, including radiative lifetimes of emissive
+        states visited.
+    source : str
+        Identifier of the light source or luminophore that emitted the ray.
+    """
+
+    position: tuple
+    direction: tuple
+    wavelength: Optional[float]
+    travelled: float = 0.0
+    duration: float = 0.0
+    source: Optional[str] = None
+
+    def __repr__(self):
+        position = "(" + ", ".join("{:.2f}".format(x) for x in self.position) + ")"
+        direction = "(" + ", ".join("{:.2f}".format(x) for x in self.direction) + ")"
+        wavelength = "{:.2f}".format(self.wavelength)
+        return "Ray(pos={}, dir={}, nm={})".format(position, direction, wavelength)
+
+    def propagate(self, distance: float, refractive_index: float) -> "Ray":
+        """Move the ray `distance` along its direction.
+
+        Time of flight accumulates as distance * n / c, matching the
+        reference (light/ray.py:52-75).
+        """
+        new_position = tuple(
+            (np.asarray(self.position) + np.asarray(self.direction) * distance).tolist()
+        )
+        return replace(
+            self,
+            position=new_position,
+            travelled=self.travelled + distance,
+            duration=self.duration
+            + distance * refractive_index / speed_of_light_cm_per_s,
+        )
+
+    def representation(self, from_node, to_node) -> "Ray":
+        """Re-express the ray in another node's coordinate system."""
+        new_position = from_node.point_to_node(self.position, to_node)
+        new_direction = from_node.vector_to_node(self.direction, to_node)
+        return replace(self, position=new_position, direction=new_direction)
