@@ -1,0 +1,322 @@
+"""Python-facing API for the device tracing engine.
+
+Parity: reference ``pvtrace/engine/api.py`` — ``simulate`` compiles the
+scene, emits a bundle, traces it on the accelerator and wraps results in
+``EngineResult`` / ``RecorderResult``; ``simulate_stream`` traces in
+bundles whose union is identical to one big call. The execution
+substrate is the JAX wavefront tracer instead of a Cython/OpenMP kernel.
+"""
+import collections
+import time
+
+import numpy as np
+
+from pvtrace_tpu.engine.compiler import EMIT_METHODS, compile_scene
+from pvtrace_tpu.engine.emit import emit_bundle
+from pvtrace_tpu.engine.recorder import Heatmap
+from pvtrace_tpu.light.event import Event
+from pvtrace_tpu.light.ray import Ray
+
+# Properties with always-on moment accumulators, in tally order
+MOMENT_PROPERTIES = ("wavelength", "angle", "duration", "pathlength")
+
+
+def is_available() -> bool:
+    """True when the device engine can run (jax imports)."""
+    try:
+        import jax  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+class RecorderResult:
+    """Tallied statistics for one recorder.
+
+    `rays` counts distinct rays (a trapped ray crossing several times
+    counts once); `crossings` counts every matching interaction.
+    Moments and histograms accumulate per distinct ray.
+    """
+
+    def __init__(self, spec, rays, crossings, moments, bins):
+        self.spec = spec
+        self.rays = int(rays)
+        self.crossings = int(crossings)
+        self._moments = np.asarray(moments, dtype=float)  # (4, 2)
+        self._bins = bins  # list of arrays matching spec.histograms
+
+    def mean(self, prop):
+        index = MOMENT_PROPERTIES.index(prop)
+        if self.rays == 0:
+            return float("nan")
+        return self._moments[index, 0] / self.rays
+
+    def std(self, prop):
+        """Population standard deviation of `prop` over recorded rays."""
+        index = MOMENT_PROPERTIES.index(prop)
+        if self.rays == 0:
+            return float("nan")
+        mean = self._moments[index, 0] / self.rays
+        variance = max(self._moments[index, 1] / self.rays - mean * mean, 0.0)
+        return float(np.sqrt(variance))
+
+    def error(self, prop):
+        """Standard error of the mean of `prop`."""
+        if self.rays == 0:
+            return float("nan")
+        return self.std(prop) / np.sqrt(self.rays)
+
+    def histogram(self, index=0):
+        """(edges, counts) for 1D or (edges_a, edges_b, counts) for 2D."""
+        spec = self.spec.histograms[index]
+        values = np.asarray(self._bins[index])
+        if isinstance(spec, Heatmap):
+            edges_a = np.linspace(spec.a.start, spec.a.stop, spec.a.bins + 1)
+            edges_b = np.linspace(spec.b.start, spec.b.stop, spec.b.bins + 1)
+            return edges_a, edges_b, values.reshape(spec.a.bins, spec.b.bins)
+        edges = np.linspace(spec.start, spec.stop, spec.bins + 1)
+        return edges, values
+
+    def __repr__(self):
+        return (
+            f"RecorderResult({self.spec.name!r}, rays={self.rays}, "
+            f"crossings={self.crossings})"
+        )
+
+
+class EngineResult:
+    """Results of tracing a bundle of rays.
+
+    Recorder tallies cover every traced ray (`recorders`); full event
+    histories exist for every `record_every`-th ray (`histories()`).
+    """
+
+    def __init__(self, compiled, data, sources, max_events, record_every, elapsed):
+        self.compiled = compiled
+        self.data = data
+        self.sources = sources
+        self.max_events = max_events
+        self.record_every = record_every
+        self.elapsed = elapsed
+
+    @property
+    def num_rays(self):
+        return len(self.sources)
+
+    @property
+    def num_recorded(self):
+        return len(self.data["counts"])
+
+    @property
+    def recorded_indices(self):
+        if self.record_every <= 0:
+            return np.zeros(0, dtype=np.int64)
+        return np.arange(0, self.num_rays, self.record_every, dtype=np.int64)
+
+    @property
+    def recorders(self):
+        compiled = self.compiled
+        results = {}
+        for r, spec in enumerate(compiled.recorder_specs):
+            bins = []
+            start = compiled.rec_hist_start[r]
+            for h in range(len(spec.histograms)):
+                row = compiled.hist_specs[start + h]
+                (_, _, _, na, nb, _, _, _, _, offset) = row
+                size = na * nb
+                bins.append(self.data["rec_bins"][offset:offset + size])
+            moments = self.data["rec_sums"][r].reshape(4, 2)
+            results[spec.name] = RecorderResult(
+                spec,
+                self.data["rec_distinct"][r],
+                self.data["rec_crossings"][r],
+                moments,
+                bins,
+            )
+        return results
+
+    def event_counts(self):
+        """Counter of logged events by Event member (recorded rays only)."""
+        counts = self.data["counts"]
+        if len(counts) == 0:
+            return collections.Counter()
+        kinds = self.data["kind"]
+        mask = np.arange(self.max_events)[None, :] < counts[:, None]
+        values, tallies = np.unique(kinds[mask], return_counts=True)
+        return collections.Counter(
+            {Event(int(v)): int(t) for v, t in zip(values, tallies)}
+        )
+
+    def _node_name(self, index):
+        return self.compiled.node_names[index] if index >= 0 else None
+
+    def _component_name(self, index):
+        return self.compiled.component_names[index] if index >= 0 else None
+
+    def histories(self):
+        """Yields one history per recorded ray: [(Ray, Event, metadata)]."""
+        d = self.data
+        indices = self.recorded_indices
+        for j in range(self.num_recorded):
+            history = []
+            for k in range(int(d["counts"][j])):
+                source_id = int(d["source"][j, k])
+                source = (
+                    self.sources[int(indices[j])]
+                    if source_id < 0
+                    else self._component_name(source_id)
+                )
+                ray = Ray(
+                    position=tuple(np.asarray(d["position"][j, k]).tolist()),
+                    direction=tuple(np.asarray(d["direction"][j, k]).tolist()),
+                    wavelength=float(d["wavelength"][j, k]),
+                    travelled=float(d["travelled"][j, k]),
+                    duration=float(d["duration"][j, k]),
+                    source=source,
+                )
+                event = Event(int(d["kind"][j, k]))
+                metadata = {
+                    "hit": self._node_name(int(d["hit"][j, k])),
+                    "container": self._node_name(int(d["container"][j, k])),
+                    "adjacent": self._node_name(int(d["adjacent"][j, k])),
+                    "component": self._component_name(int(d["component"][j, k])),
+                }
+                if event in (Event.REFLECT, Event.TRANSMIT):
+                    metadata["normal"] = tuple(
+                        np.asarray(d["normal"][j, k]).tolist()
+                    )
+                history.append((ray, event, metadata))
+            yield history
+
+
+# Cache of jitted tracers keyed by (id(compiled), static config)
+_TRACER_CACHE = {}
+
+
+def _get_tracer(compiled, cfg):
+    import jax
+
+    from pvtrace_tpu.engine import tracer as tracer_module
+
+    key = (id(compiled), cfg)
+    fn = _TRACER_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            lambda tables, p, d, w, k: tracer_module.trace_bundle(
+                tables, cfg, p, d, w, k
+            )
+        )
+        _TRACER_CACHE[key] = fn
+    return fn
+
+
+def simulate(
+    scene,
+    num_rays,
+    seed=None,
+    workers=None,
+    maxsteps=1000,
+    max_events=128,
+    emit_method="kT",
+    record_every=1,
+    dtype=None,
+    compiled=None,
+):
+    """Trace `num_rays` through `scene` with the device engine.
+
+    Initial rays are emitted by the scene's light sources on the host
+    (all light delegates supported); the tracing loop runs on the
+    accelerator. Raises `UnsupportedSceneError` when the scene cannot be
+    compiled — fall back to the Python tracer.
+
+    `workers` is accepted for API compatibility and ignored: parallelism
+    comes from the device batch (and the mesh when sharded).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pvtrace_tpu.engine import tracer as tracer_module
+
+    if emit_method not in EMIT_METHODS:
+        raise ValueError(f"emit_method must be one of {sorted(EMIT_METHODS)}")
+    if compiled is None:
+        compiled = compile_scene(scene)
+    if seed is None:
+        seed = int(np.random.randint(0, 2 ** 31 - 1))
+    if dtype is None:
+        dtype = (
+            np.float64
+            if jax.config.read("jax_enable_x64")
+            else np.float32
+        )
+
+    positions, directions, wavelengths, sources = emit_bundle(scene, num_rays)
+
+    cfg = tracer_module.make_config(
+        compiled,
+        n_rays=num_rays,
+        dtype=dtype,
+        maxsteps=maxsteps,
+        max_events=max_events,
+        record_every=record_every,
+        emit_method=emit_method,
+    )
+    tables = compiled.device_tables(dtype=dtype)
+    fn = _get_tracer(compiled, cfg)
+
+    key = jax.random.PRNGKey(int(seed))
+    tic = time.perf_counter()
+    tallies, log, counts, steps = fn(
+        tables,
+        jnp.asarray(positions.astype(dtype)),
+        jnp.asarray(directions.astype(dtype)),
+        jnp.asarray(wavelengths.astype(dtype)),
+        key,
+    )
+    jax.block_until_ready(tallies)
+    elapsed = time.perf_counter() - tic
+
+    data = {
+        "rec_distinct": np.asarray(tallies["distinct"]),
+        "rec_crossings": np.asarray(tallies["cross"]),
+        "rec_sums": np.asarray(tallies["sums"]),
+        "rec_bins": np.asarray(tallies["bins"])[:-1],  # drop overflow slot
+        "counts": np.asarray(counts)[: cfg.n_slots],
+        "steps": int(steps),
+    }
+    log_fields = (
+        "kind", "hit", "container", "adjacent", "component", "source",
+        "position", "direction", "normal", "wavelength", "travelled",
+        "duration",
+    )
+    if cfg.n_slots > 0:
+        for name in log_fields:
+            data[name] = np.asarray(log[name])[: cfg.n_slots]
+    else:
+        for name in log_fields:
+            data[name] = np.asarray(log[name])[:0]
+
+    return EngineResult(compiled, data, sources, max_events, record_every, elapsed)
+
+
+def simulate_stream(scene, num_rays, bundle=50000, seed=None, **kwargs):
+    """Trace in bundles, yielding (EngineResult, rays_traced_so_far).
+
+    Bundles use consecutive per-ray seed offsets (fold-in of the bundle
+    start index), so the union of the streamed results is identical in
+    distribution to a single `simulate` call. Accumulate recorder
+    tallies across bundles by summing the `rec_*` arrays.
+    """
+    if seed is None:
+        seed = int(np.random.randint(0, 2 ** 31 - 1))
+    compiled = kwargs.pop("compiled", None)
+    if compiled is None:
+        compiled = compile_scene(scene)
+    traced = 0
+    while traced < num_rays:
+        n = min(bundle, num_rays - traced)
+        result = simulate(
+            scene, n, seed=int(seed) + traced, compiled=compiled, **kwargs
+        )
+        traced += n
+        yield result, traced

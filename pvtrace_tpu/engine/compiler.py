@@ -1,0 +1,414 @@
+"""Compile a scene into flat tables for the device wavefront tracer.
+
+Counterpart of the reference's ``engine/compiler.py`` (which lowers to
+numpy tables for a Cython kernel) — re-designed for TPU execution:
+
+* Spectra and emission CDFs are resampled onto **shared uniform grids**
+  so device lookups are O(1) gather + lerp instead of binary search
+  (reference ``_kernel.pyx:219-238``).
+* Per-node **total attenuation** spectra are precomputed so the hot loop
+  does one lookup per photon, not one per component.
+* Emission sampling uses a precomputed **inverse-CDF table** on a
+  uniform probability grid.
+* Surfaces support per-facet overrides (mirror / ideal cell /
+  lambertian mirror), so LSC-style scenes compile instead of falling
+  back to the per-ray tracer.
+
+Scenes with Mesh geometry, unrecognised surface delegates, custom phase
+functions or histogram-sampled spectra raise ``UnsupportedSceneError``
+so callers can fall back to ``pvtrace_tpu.algorithm.photon_tracer``.
+"""
+import numpy as np
+
+from pvtrace_tpu.engine.recorder import EVENTS, PROPERTIES, Heatmap, Recorder
+from pvtrace_tpu.geometry.box import Box
+from pvtrace_tpu.geometry.cylinder import Cylinder
+from pvtrace_tpu.geometry.sphere import Sphere
+from pvtrace_tpu.material.component import Absorber, Luminophore, Reactor, Scatterer
+from pvtrace_tpu.material.surface import (
+    FacetOverrideSurfaceDelegate,
+    FresnelSurfaceDelegate,
+    NullSurfaceDelegate,
+)
+from pvtrace_tpu.material.utils import Cone, HenyeyGreenstein, isotropic
+
+# Volume interaction selectors cannot be restricted by surface facet
+VOLUME_EVENTS = {"lost", "reacted", "killed"}
+MAX_RECORDERS = 256
+
+# Geometry type tags
+GEOM_BOX = 0
+GEOM_SPHERE = 1
+GEOM_CYLINDER = 2
+
+# Surface type tags
+SURF_FRESNEL = 0
+SURF_NULL = 1
+
+# Component type tags
+COMP_ABSORBER = 0
+COMP_SCATTERER = 1
+COMP_LUMINOPHORE = 2
+COMP_REACTOR = 3
+
+# Phase function tags
+PHASE_ISOTROPIC = 0
+PHASE_HENYEY_GREENSTEIN = 1
+PHASE_CONE = 2
+
+# Emission method tags
+EMIT_KT = 0
+EMIT_REDSHIFT = 1
+EMIT_FULL = 2
+EMIT_METHODS = {"kT": EMIT_KT, "redshift": EMIT_REDSHIFT, "full": EMIT_FULL}
+
+# Facet override modes (match material.surface constants)
+OVR_NONE = -1
+
+
+class UnsupportedSceneError(Exception):
+    """The scene uses a feature the compiled engine does not support."""
+
+
+class CompiledScene:
+    """Flat-table representation of a scene for the device tracer.
+
+    Tables are built in float64 numpy; ``device_tables(dtype)`` casts to
+    the compute dtype and returns a pytree (dict) of jnp arrays.
+    """
+
+    def __init__(self, scene, wavelength_bins=2048, icdf_bins=2048, eps=None):
+        nodes = [n for n in scene.root.iter_preorder() if n.geometry is not None]
+        if len(nodes) == 0:
+            raise UnsupportedSceneError("Scene has no geometry nodes.")
+        if scene.root.geometry is None:
+            raise UnsupportedSceneError("Root node must have a geometry.")
+
+        self.scene = scene
+        self.nodes = nodes
+        self.node_names = [node.name for node in nodes]
+        self.root_id = nodes.index(scene.root)
+        n = len(nodes)
+
+        self.geom_type = np.zeros(n, dtype=np.int32)
+        self.geom_params = np.zeros((n, 4), dtype=np.float64)
+        self.local_to_world = np.zeros((n, 4, 4), dtype=np.float64)
+        self.world_to_local = np.zeros((n, 4, 4), dtype=np.float64)
+        self.refractive_index = np.zeros(n, dtype=np.float64)
+        self.surface_type = np.zeros(n, dtype=np.int32)
+
+        # -- geometry, transforms, surfaces ----------------------------
+        overrides_per_node = []
+        components_per_node = []
+        for i, node in enumerate(nodes):
+            self._compile_geometry(i, node.geometry)
+            self._compile_transform(i, node, scene.root)
+            material = node.geometry.material
+            if material is None:
+                raise UnsupportedSceneError(
+                    f"Node {node.name!r} has geometry without a material."
+                )
+            self.refractive_index[i] = float(material.refractive_index)
+            surf_tag, ovrs = self._surface_tag(node, material)
+            self.surface_type[i] = surf_tag
+            overrides_per_node.append(ovrs)
+            components_per_node.append(list(material.components))
+
+        # -- facet override tables -------------------------------------
+        F = max([len(o) for o in overrides_per_node] + [1])
+        self.max_overrides = F
+        self.ovr_mode = np.full((n, F), OVR_NONE, dtype=np.int32)
+        self.ovr_normal = np.zeros((n, F, 3), dtype=np.float64)
+        self.ovr_atol = np.zeros((n, F), dtype=np.float64)
+        for i, ovrs in enumerate(overrides_per_node):
+            for f, o in enumerate(ovrs):
+                self.ovr_mode[i, f] = o.mode
+                self.ovr_normal[i, f] = o.normal
+                self.ovr_atol[i, f] = o.atol
+
+        # -- components ------------------------------------------------
+        comps = []  # flat list of (node_index, component)
+        self.component_names = []
+        Kmax = max([len(c) for c in components_per_node] + [1])
+        self.max_components = Kmax
+        self.node_comp_idx = np.full((n, Kmax), -1, dtype=np.int32)
+        self.comp_count = np.zeros(n, dtype=np.int32)
+        for i, comp_list in enumerate(components_per_node):
+            for k, component in enumerate(comp_list):
+                self.node_comp_idx[i, k] = len(comps)
+                comps.append((i, component))
+                self.component_names.append(component.name)
+            self.comp_count[i] = len(comp_list)
+
+        C = max(len(comps), 1)
+        self.n_components = len(comps)
+        self.comp_type = np.zeros(C, dtype=np.int32)
+        self.comp_qy = np.zeros(C, dtype=np.float64)
+        self.comp_tau_rad = np.zeros(C, dtype=np.float64)
+        self.comp_tau_nr = np.zeros(C, dtype=np.float64)
+        self.comp_phase_type = np.zeros(C, dtype=np.int32)
+        self.comp_phase_param = np.zeros(C, dtype=np.float64)
+
+        # Wavelength grid over the union of all spectral ranges
+        lo, hi = np.inf, -np.inf
+        for _, component in comps:
+            dist = component._abs_dist
+            if dist.hist:
+                raise UnsupportedSceneError(
+                    "Histogram-sampled spectra are not supported."
+                )
+            if dist._x is not None:
+                lo = min(lo, dist._x_range[0])
+                hi = max(hi, dist._x_range[1])
+            if isinstance(component, Luminophore):
+                edist = component._ems_dist
+                if edist.hist:
+                    raise UnsupportedSceneError(
+                        "Histogram-sampled emission spectra are not supported."
+                    )
+                lo = min(lo, edist._x_range[0])
+                hi = max(hi, edist._x_range[1])
+        if not np.isfinite(lo):
+            lo, hi = 0.0, 1.0
+        if hi <= lo:
+            hi = lo + 1.0
+        L = int(wavelength_bins)
+        M = int(icdf_bins)
+        self.grid_x0 = float(lo)
+        self.grid_x1 = float(hi)
+        self.grid_n = L
+        self.grid_dx = (hi - lo) / (L - 1)
+        self.icdf_n = M
+        grid = np.linspace(lo, hi, L)
+        self.wavelength_grid = grid
+
+        self.comp_coef = np.zeros((C, L), dtype=np.float64)
+        self.ems_cdf = np.zeros((C, L), dtype=np.float64)
+        self.ems_icdf = np.zeros((C, M), dtype=np.float64)
+        pgrid = np.linspace(0.0, 1.0, M)
+
+        for c, (i, component) in enumerate(comps):
+            self._check_phase(nodes[i], component, c)
+            self.comp_qy[c] = float(component.quantum_yield)
+            self.comp_tau_rad[c] = component.tau_rad or 0.0
+            self.comp_tau_nr[c] = component.tau_nr or 0.0
+            self.comp_type[c] = self._component_tag(component)
+            dist = component._abs_dist
+            if dist._x is None:
+                self.comp_coef[c] = float(dist._y)
+            else:
+                self.comp_coef[c] = np.interp(grid, dist._x, dist._y)
+            if isinstance(component, Luminophore):
+                edist = component._ems_dist
+                self.ems_cdf[c] = np.interp(grid, edist._x, edist._cdf)
+                self.ems_icdf[c] = np.interp(pgrid, edist._cdf, edist._x)
+
+        # Per-node total attenuation on the shared grid
+        self.node_alpha = np.zeros((n, L), dtype=np.float64)
+        for i in range(n):
+            for k in range(self.comp_count[i]):
+                self.node_alpha[i] += self.comp_coef[self.node_comp_idx[i, k]]
+
+        # -- numeric tolerance -----------------------------------------
+        # Forward-hit filter: intersections closer than eps along the ray
+        # are "on surface". Scaled to the scene extent for f32 safety.
+        extents = []
+        for i, node in enumerate(nodes):
+            if self.geom_type[i] == GEOM_BOX:
+                extents.append(np.max(self.geom_params[i, :3]))
+            elif self.geom_type[i] == GEOM_SPHERE:
+                extents.append(self.geom_params[i, 0])
+            else:
+                extents.append(max(self.geom_params[i, 0], self.geom_params[i, 1]))
+        self.scene_extent = float(max(extents))
+        self.eps = eps  # resolved per-dtype in device_tables
+
+        self._compile_recorders(nodes)
+
+    # -- pieces --------------------------------------------------------
+
+    def _compile_geometry(self, i, geometry):
+        if isinstance(geometry, Box):
+            self.geom_type[i] = GEOM_BOX
+            self.geom_params[i, :3] = np.asarray(geometry._size, dtype=np.float64)
+        elif isinstance(geometry, Sphere):
+            self.geom_type[i] = GEOM_SPHERE
+            self.geom_params[i, 0] = float(geometry.radius)
+        elif isinstance(geometry, Cylinder):
+            self.geom_type[i] = GEOM_CYLINDER
+            self.geom_params[i, 0] = float(geometry.length)
+            self.geom_params[i, 1] = float(geometry.radius)
+        else:
+            raise UnsupportedSceneError(
+                f"Geometry type {type(geometry).__name__} is not supported."
+            )
+
+    def _compile_transform(self, i, node, root):
+        l2w = np.asarray(node.transformation_to(root), dtype=np.float64)
+        rotation = l2w[:3, :3]
+        if not np.allclose(rotation @ rotation.T, np.eye(3), atol=1e-9):
+            raise UnsupportedSceneError(
+                f"Node {node.name!r} transform is not rigid (has scale or shear)."
+            )
+        self.local_to_world[i] = l2w
+        self.world_to_local[i] = np.linalg.inv(l2w)
+
+    def _surface_tag(self, node, material):
+        delegate = material.surface.delegate
+        if isinstance(delegate, FacetOverrideSurfaceDelegate):
+            return SURF_FRESNEL, delegate.overrides
+        if type(delegate) is FresnelSurfaceDelegate:
+            return SURF_FRESNEL, []
+        if type(delegate) is NullSurfaceDelegate:
+            return SURF_NULL, []
+        raise UnsupportedSceneError(
+            f"Node {node.name!r} uses surface delegate "
+            f"{type(delegate).__name__}; supported: FresnelSurfaceDelegate, "
+            "NullSurfaceDelegate, FacetOverrideSurfaceDelegate."
+        )
+
+    @staticmethod
+    def _component_tag(component):
+        # Order matters: Reactor < Absorber < Scatterer; Luminophore < Scatterer
+        if isinstance(component, Reactor):
+            return COMP_REACTOR
+        if isinstance(component, Absorber):
+            return COMP_ABSORBER
+        if isinstance(component, Luminophore):
+            return COMP_LUMINOPHORE
+        if isinstance(component, Scatterer):
+            return COMP_SCATTERER
+        raise UnsupportedSceneError(
+            f"Component type {type(component).__name__} is not supported."
+        )
+
+    def _check_phase(self, node, component, c):
+        phase = component.phase_function
+        if phase is isotropic:
+            self.comp_phase_type[c] = PHASE_ISOTROPIC
+        elif isinstance(phase, HenyeyGreenstein):
+            self.comp_phase_type[c] = PHASE_HENYEY_GREENSTEIN
+            self.comp_phase_param[c] = float(phase.g)
+        elif isinstance(phase, Cone):
+            self.comp_phase_type[c] = PHASE_CONE
+            self.comp_phase_param[c] = float(phase.theta_max)
+        else:
+            raise UnsupportedSceneError(
+                f"Node {node.name!r}: custom phase functions are not supported."
+            )
+
+    def _compile_recorders(self, nodes):
+        recorders = []
+        for i, node in enumerate(nodes):
+            for recorder in getattr(node, "recorders", []):
+                if not isinstance(recorder, Recorder):
+                    raise UnsupportedSceneError(
+                        f"Node {node.name!r} recorders must be Recorder objects."
+                    )
+                if recorder.event in VOLUME_EVENTS and recorder.facet is not None:
+                    raise UnsupportedSceneError(
+                        f"Recorder {recorder.name!r}: facet filters only apply "
+                        "to surface events."
+                    )
+                recorders.append((i, recorder))
+        if len(recorders) > MAX_RECORDERS:
+            raise UnsupportedSceneError(
+                f"At most {MAX_RECORDERS} recorders are supported."
+            )
+        names = [rec.name for _, rec in recorders]
+        if len(set(names)) != len(names):
+            raise UnsupportedSceneError("Recorder names must be unique.")
+
+        R = len(recorders)
+        self.n_recorders = R
+        self.recorder_names = names
+        self.recorder_specs = [rec for _, rec in recorders]
+        self.rec_node = np.zeros(max(R, 1), dtype=np.int32)
+        self.rec_event = np.zeros(max(R, 1), dtype=np.int32)
+        self.rec_has_facet = np.zeros(max(R, 1), dtype=np.int32)
+        self.rec_facet = np.zeros((max(R, 1), 3), dtype=np.float64)
+        self.rec_atol = np.zeros(max(R, 1), dtype=np.float64)
+        self.rec_hist_start = np.zeros(max(R, 1), dtype=np.int32)
+        self.rec_hist_n = np.zeros(max(R, 1), dtype=np.int32)
+
+        h_rows = []
+        offset = 0
+        for r, (node_index, recorder) in enumerate(recorders):
+            self.rec_node[r] = node_index
+            self.rec_event[r] = EVENTS[recorder.event]
+            if recorder.facet is not None:
+                self.rec_has_facet[r] = 1
+                self.rec_facet[r] = recorder.facet
+            self.rec_atol[r] = recorder.atol
+            self.rec_hist_start[r] = len(h_rows)
+            for hist in recorder.histograms:
+                if isinstance(hist, Heatmap):
+                    a, b = hist.a, hist.b
+                    h_rows.append(
+                        (r, PROPERTIES[a.prop], PROPERTIES[b.prop], a.bins,
+                         b.bins, a.start, a.stop, b.start, b.stop, offset)
+                    )
+                    offset += a.bins * b.bins
+                else:
+                    h_rows.append(
+                        (r, PROPERTIES[hist.prop], -1, hist.bins, 1,
+                         hist.start, hist.stop, 0.0, 1.0, offset)
+                    )
+                    offset += hist.bins
+            self.rec_hist_n[r] = len(recorder.histograms)
+
+        # Histogram specs stay host-side (static python metadata for the
+        # unrolled tally loop).
+        self.hist_specs = h_rows
+        self.total_bins = offset
+
+    # -- device lowering ----------------------------------------------
+
+    def resolved_eps(self, dtype):
+        """Forward-hit tolerance for the given compute dtype."""
+        if self.eps is not None:
+            return float(self.eps)
+        scale = max(1.0, self.scene_extent)
+        if np.dtype(dtype) == np.float32:
+            return 3e-5 * scale
+        return 2.2e-12 * scale
+
+    def device_tables(self, dtype=np.float32):
+        """Pytree of device arrays in the compute dtype."""
+        import jax.numpy as jnp
+
+        f = lambda x: jnp.asarray(x, dtype=dtype)
+        i = lambda x: jnp.asarray(x, dtype=jnp.int32)
+        return {
+            "geom_type": i(self.geom_type),
+            "geom_params": f(self.geom_params),
+            "l2w": f(self.local_to_world),
+            "w2l": f(self.world_to_local),
+            "nidx": f(self.refractive_index),
+            "surf_type": i(self.surface_type),
+            "ovr_mode": i(self.ovr_mode),
+            "ovr_normal": f(self.ovr_normal),
+            "ovr_atol": f(self.ovr_atol),
+            "node_comp_idx": i(self.node_comp_idx),
+            "comp_count": i(self.comp_count),
+            "comp_type": i(self.comp_type),
+            "comp_qy": f(self.comp_qy),
+            "comp_tau_rad": f(self.comp_tau_rad),
+            "comp_tau_nr": f(self.comp_tau_nr),
+            "comp_phase_type": i(self.comp_phase_type),
+            "comp_phase_param": f(self.comp_phase_param),
+            "comp_coef": f(self.comp_coef),
+            "node_alpha": f(self.node_alpha),
+            "ems_cdf": f(self.ems_cdf),
+            "ems_icdf": f(self.ems_icdf),
+            "rec_node": i(self.rec_node),
+            "rec_event": i(self.rec_event),
+            "rec_has_facet": i(self.rec_has_facet),
+            "rec_facet": f(self.rec_facet),
+            "rec_atol": f(self.rec_atol),
+        }
+
+
+def compile_scene(scene, **kwargs) -> CompiledScene:
+    """Compile `scene` to flat tables, or raise `UnsupportedSceneError`."""
+    return CompiledScene(scene, **kwargs)

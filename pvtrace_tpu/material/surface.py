@@ -79,6 +79,100 @@ class FresnelSurfaceDelegate(SurfaceDelegate):
         return tuple(fresnel_refraction(ray.direction, normal, n1, n2).tolist())
 
 
+# Facet override modes understood by both the oracle tracer and the
+# device compiler.
+OVERRIDE_MIRROR = 0            # perfect specular mirror (R = 1)
+OVERRIDE_ABSORB = 1            # perfectly index-matched absorber (R = 0,
+                               # transmitted direction unchanged)
+OVERRIDE_LAMBERTIAN_MIRROR = 2 # perfect diffuse reflector (R = 1)
+
+
+class FacetOverride:
+    """Per-facet surface behaviour override.
+
+    `normal` is the outward facet normal in the geometry's local frame;
+    interactions whose surface normal matches within `atol` per
+    component use `mode` instead of the base Fresnel behaviour.
+    """
+
+    def __init__(self, normal, mode, atol=1e-6):
+        if mode not in (OVERRIDE_MIRROR, OVERRIDE_ABSORB, OVERRIDE_LAMBERTIAN_MIRROR):
+            raise ValueError("Unknown facet override mode.")
+        self.normal = tuple(float(v) for v in normal)
+        self.mode = int(mode)
+        self.atol = float(atol)
+
+
+class FacetOverrideSurfaceDelegate(FresnelSurfaceDelegate):
+    """Fresnel surface with per-facet overrides (mirrors, ideal solar
+    cells, diffuse reflectors).
+
+    This generalises the custom delegates the reference LSC device uses
+    (device/lsc.py:22-86 OptionalMirrorAndSolarCell / AirGapMirror) into
+    a declarative form the compiler can lower to device tables, so LSC
+    scenes run on the TPU fast path instead of falling back to the
+    per-ray tracer.
+    """
+
+    def __init__(self, overrides=None):
+        super(FacetOverrideSurfaceDelegate, self).__init__()
+        self.overrides = list(overrides) if overrides else []
+
+    def _match(self, geometry, position):
+        normal = np.asarray(geometry.normal(position), dtype=float)
+        for override in self.overrides:
+            if np.all(np.abs(np.asarray(override.normal) - normal) <= override.atol):
+                return override
+        return None
+
+    def reflectivity(self, surface, ray, geometry, container, adjacent):
+        override = self._match(geometry, ray.position)
+        if override is not None:
+            if override.mode in (OVERRIDE_MIRROR, OVERRIDE_LAMBERTIAN_MIRROR):
+                return 1.0
+            return 0.0  # OVERRIDE_ABSORB
+        return super(FacetOverrideSurfaceDelegate, self).reflectivity(
+            surface, ray, geometry, container, adjacent
+        )
+
+    def reflected_direction(self, surface, ray, geometry, container, adjacent):
+        override = self._match(geometry, ray.position)
+        if override is not None and override.mode == OVERRIDE_LAMBERTIAN_MIRROR:
+            from pvtrace_tpu.material.utils import lambertian
+
+            # Sample about the normal flipped to the incidence side so the
+            # outgoing direction returns into the container.
+            normal = np.asarray(geometry.normal(ray.position), dtype=float)
+            if np.dot(normal, ray.direction) > 0.0:
+                normal = -normal
+            z = np.array([0.0, 0.0, 1.0])
+            sample = lambertian()
+            if np.allclose(normal, z):
+                return tuple(sample.tolist())
+            if np.allclose(normal, -z):
+                return tuple((-sample).tolist())
+            axis = np.cross(z, normal)
+            axis /= np.linalg.norm(axis)
+            c = float(np.dot(z, normal))
+            s = np.sqrt(1 - c * c)
+            K = np.array(
+                [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+            )
+            R = np.identity(3) + s * K + (1 - c) * (K @ K)
+            return tuple((R @ sample).tolist())
+        return super(FacetOverrideSurfaceDelegate, self).reflected_direction(
+            surface, ray, geometry, container, adjacent
+        )
+
+    def transmitted_direction(self, surface, ray, geometry, container, adjacent):
+        override = self._match(geometry, ray.position)
+        if override is not None and override.mode == OVERRIDE_ABSORB:
+            return ray.direction
+        return super(FacetOverrideSurfaceDelegate, self).transmitted_direction(
+            surface, ray, geometry, container, adjacent
+        )
+
+
 class BaseSurface(abc.ABC):
     @property
     @abc.abstractmethod

@@ -16,4 +16,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The axon sitecustomize overrides JAX_PLATFORMS via jax.config, so the
+# platform must be forced through the config too.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
