@@ -1,0 +1,119 @@
+"""Benchmark: photons/second on the reference LSC benchmark scene.
+
+Scene mirrors ``/root/reference/benchmarks/benchmark_engine.py:26-55``:
+a 5x5x1 cm LSC slab with a Lumogen-like dye (quantum yield 0.9, peak
+absorption 10 cm^-1) plus a 0.3 cm^-1 background absorber, inside a
+world sphere, lit by a 555 nm cone spotlight.
+
+Baseline: the reference's compiled Cython/OpenMP engine reaches
+~460,000 rays/s on a laptop (reference README.md:170).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 460_000.0
+
+
+def build_scene():
+    from pvtrace_tpu import (
+        Absorber,
+        Box,
+        Light,
+        Luminophore,
+        Material,
+        Node,
+        Scene,
+        Sphere,
+        cone,
+        lumogen_f_red_305,
+    )
+    from pvtrace_tpu.light.light import ConstantWavelengthMask
+
+    x = np.arange(400, 801, dtype=float)
+    world = Node(
+        name="world",
+        geometry=Sphere(radius=25.0, material=Material(refractive_index=1.0)),
+    )
+    lsc = Node(
+        name="lsc",
+        geometry=Box(
+            (5.0, 5.0, 1.0),
+            material=Material(
+                refractive_index=1.5,
+                components=[
+                    Luminophore(
+                        coefficient=np.column_stack(
+                            (x, lumogen_f_red_305.absorption(x) * 10.0)
+                        ),
+                        emission=np.column_stack(
+                            (x, lumogen_f_red_305.emission(x))
+                        ),
+                        quantum_yield=0.9,
+                        name="dye",
+                    ),
+                    Absorber(0.3, name="background"),
+                ],
+            ),
+        ),
+        parent=world,
+    )
+    light = Node(
+        name="light",
+        light=Light(
+            direction=functools.partial(cone, np.radians(20)),
+            wavelength=ConstantWavelengthMask(555.0),
+        ),
+        parent=world,
+    )
+    light.translate((0.0, 0.0, 3.0))
+    light.rotate(np.radians(180), (1, 0, 0))
+    return Scene(world)
+
+
+def main():
+    import jax
+
+    # Warm the device->host transfer path before timing anything.
+    np.asarray(jax.numpy.ones((8,)))
+
+    from pvtrace_tpu import engine
+
+    scene = build_scene()
+    np.random.seed(0)
+
+    bundle = 1_000_000
+    # Compile + warm up
+    engine.simulate(scene, bundle, seed=1, record_every=0, dtype=np.float32)
+
+    # Timed runs
+    total_rays = 0
+    total_time = 0.0
+    for i in range(3):
+        result = engine.simulate(
+            scene, bundle, seed=2 + i, record_every=0, dtype=np.float32
+        )
+        total_rays += bundle
+        total_time += result.elapsed
+
+    value = total_rays / total_time
+    print(
+        json.dumps(
+            {
+                "metric": "lsc_photon_throughput",
+                "value": round(value, 1),
+                "unit": "photons/s",
+                "vs_baseline": round(value / BASELINE_RAYS_PER_S, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

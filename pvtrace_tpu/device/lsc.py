@@ -1,0 +1,563 @@
+"""High-level luminescent solar concentrator abstraction.
+
+Parity: reference ``pvtrace/device/lsc.py`` — same constructor/builders
+(`add_luminophore`, `add_absorber`, `add_scatterer`, `add_light`,
+`add_solar_cell`, `add_back_surface_mirror`, `add_air_gap_mirror`) and
+analysis API (`spectrum`, `counts`, `summary`, `report`).
+
+Execution differs: the reference traces LSC scenes with the per-ray
+Python tracer (~1.8k rays/s) because its custom surface delegates cannot
+compile. Here the mirror/solar-cell surfaces are expressed as declarative
+facet overrides (``FacetOverrideSurfaceDelegate``), so LSC scenes lower
+to device tables and run on the TPU wavefront engine; the oracle tracer
+remains available via ``simulate(..., engine="python")``.
+"""
+import functools
+from dataclasses import asdict
+
+import numpy as np
+import pandas as pd
+
+from pvtrace_tpu.data import lumogen_f_red_305
+from pvtrace_tpu.geometry.box import Box
+from pvtrace_tpu.geometry.utils import EPS_ZERO
+from pvtrace_tpu.light.event import Event
+from pvtrace_tpu.light.light import Light
+from pvtrace_tpu.material.component import Absorber, Luminophore, Scatterer
+from pvtrace_tpu.material.material import Material
+from pvtrace_tpu.material.surface import (
+    OVERRIDE_ABSORB,
+    OVERRIDE_LAMBERTIAN_MIRROR,
+    OVERRIDE_MIRROR,
+    FacetOverride,
+    FacetOverrideSurfaceDelegate,
+    Surface,
+)
+from pvtrace_tpu.material.utils import cone
+from pvtrace_tpu.scene.node import Node
+from pvtrace_tpu.scene.scene import Scene
+
+# Facet name -> outward local normal of the LSC box
+_FACET_NORMALS = {
+    "left": (-1, 0, 0),
+    "right": (1, 0, 0),
+    "near": (0, -1, 0),
+    "far": (0, 1, 0),
+    "bottom": (0, 0, -1),
+    "top": (0, 0, 1),
+}
+
+
+class OptionalMirrorAndSolarCell(FacetOverrideSurfaceDelegate):
+    """Ideal specular mirror on the bottom facet plus perfectly
+    index-matched, perfectly absorbing cells on selected edges
+    (reference lsc.py:22-62), as declarative facet overrides."""
+
+    def __init__(self, lsc):
+        overrides = []
+        if lsc._back_surface_mirror_info["want_back_surface_mirror"]:
+            overrides.append(FacetOverride((0, 0, -1), OVERRIDE_MIRROR))
+        for facet in lsc._solar_cell_surfaces:
+            overrides.append(
+                FacetOverride(_FACET_NORMALS[facet], OVERRIDE_ABSORB)
+            )
+        super(OptionalMirrorAndSolarCell, self).__init__(overrides)
+
+
+class AirGapMirror(FacetOverrideSurfaceDelegate):
+    """Perfect reflector (specular or Lambertian) below an air gap
+    (reference lsc.py:65-86)."""
+
+    def __init__(self, lsc):
+        mode = (
+            OVERRIDE_LAMBERTIAN_MIRROR
+            if lsc._air_gap_mirror_info["lambertian"]
+            else OVERRIDE_MIRROR
+        )
+        overrides = [
+            FacetOverride(normal, mode) for normal in _FACET_NORMALS.values()
+        ]
+        super(AirGapMirror, self).__init__(overrides)
+
+
+class LSC(object):
+    """Abstraction of a luminescent solar concentrator — a high-level,
+    easy-to-use API over the scene/engine machinery."""
+
+    def __init__(self, size, wavelength_range=None, n0=1.0, n1=1.5):
+        super(LSC, self).__init__()
+        self.wavelength_range = (
+            np.arange(400, 800) if wavelength_range is None else wavelength_range
+        )
+        self.size = size  # centimetres
+        self.n0 = n0
+        self.n1 = n1
+
+        self._solar_cell_surfaces = set()
+        self._back_surface_mirror_info = {"want_back_surface_mirror": False}
+        self._air_gap_mirror_info = {"want_air_gap_mirror": False, "lambertian": False}
+        self._scene = None
+        self._store = None
+        self._df = None
+        self._counts = None
+        self._user_lights = []
+        self._user_components = []
+        self._renderer = None
+
+    # -- defaults ------------------------------------------------------
+
+    def _make_default_components(self):
+        """Lumogen F Red 305 at peak absorption 10 cm^-1 plus a
+        0.1 cm^-1 background absorber (reference lsc.py:115-133)."""
+        x = self.wavelength_range
+        coefficient = lumogen_f_red_305.absorption(x) * 10.0  # cm-1
+        emission = lumogen_f_red_305.emission(x)
+        lumogen = {
+            "cls": Luminophore,
+            "name": "Lumogen F Red 305",
+            "coefficient": np.column_stack((x, coefficient)),
+            "emission": np.column_stack((x, emission)),
+            "quantum_yield": 1.0,
+            "phase_function": None,
+        }
+        background = {"cls": Absorber, "coefficient": 0.1, "name": "Background"}
+        return [lumogen, background]
+
+    def _make_default_lights(self):
+        """555 nm spotlight (20 degree cone) above the top surface."""
+        return [
+            {
+                "name": "Light",
+                "location": (0.0, 0.0, self.size[-1] * 5),
+                "rotation": (np.radians(180), (1, 0, 0)),
+                "direction": functools.partial(cone, np.radians(20)),
+                "wavelength": None,
+                "position": None,
+            }
+        ]
+
+    def _make_scene(self):
+        (l, w, d) = self.size
+        world = Node(
+            name="World",
+            geometry=Box(
+                (l * 100, w * 100, d * 100),
+                material=Material(refractive_index=self.n0),
+            ),
+        )
+
+        if len(self._user_components) == 0:
+            self._user_components = self._make_default_components()
+        components = []
+        for component_data in self._user_components:
+            data = dict(component_data)
+            cls = data.pop("cls")
+            coefficient = data.pop("coefficient")
+            name = data.pop("name")
+            if cls is Luminophore and data.get("phase_function") is None:
+                data.pop("phase_function", None)
+            components.append(cls(coefficient, name=name, **data))
+
+        lsc = Node(
+            name="LSC",
+            geometry=Box(
+                (l, w, d),
+                material=Material(
+                    refractive_index=self.n1,
+                    components=components,
+                    surface=Surface(delegate=OptionalMirrorAndSolarCell(self)),
+                ),
+            ),
+            parent=world,
+        )
+
+        if self._air_gap_mirror_info["want_air_gap_mirror"]:
+            sheet_thickness = 0.25 * d
+            air_gap_mirror = Node(
+                name="Air Gap Mirror",
+                geometry=Box(
+                    (l, w, sheet_thickness),
+                    material=Material(
+                        refractive_index=self.n0,
+                        components=[],
+                        surface=Surface(delegate=AirGapMirror(self)),
+                    ),
+                ),
+                parent=world,
+            )
+            air_gap_mirror.translate((0.0, 0.0, -(0.5 * d + sheet_thickness)))
+
+        if len(self._user_lights) == 0:
+            self._user_lights = self._make_default_lights()
+
+        for light_data in self._user_lights:
+            name = light_data["name"]
+            light = Light(
+                name=name,
+                direction=light_data["direction"],
+                wavelength=light_data["wavelength"],
+                position=light_data["position"],
+            )
+            light_node = Node(name=name, light=light, parent=world)
+            light_node.location = light_data["location"]
+            if light_data["rotation"]:
+                light_node.rotate(*light_data["rotation"])
+
+        self._scene = Scene(world)
+
+    # -- configuration -------------------------------------------------
+
+    def component_names(self):
+        if self._scene is None:
+            raise ValueError("Run a simulation before calling this method.")
+        return {c["name"] for c in self._user_components}
+
+    def light_names(self):
+        if self._scene is None:
+            raise ValueError("Run a simulation before calling this method.")
+        return {l["name"] for l in self._user_lights}
+
+    def add_luminophore(
+        self, name, coefficient, emission, quantum_yield, phase_function=None
+    ):
+        self._user_components.append(
+            {
+                "cls": Luminophore,
+                "name": name,
+                "coefficient": coefficient,
+                "emission": emission,
+                "quantum_yield": quantum_yield,
+                "phase_function": phase_function,
+            }
+        )
+
+    def add_absorber(self, name, coefficient):
+        self._user_components.append(
+            {"cls": Absorber, "name": name, "coefficient": coefficient}
+        )
+
+    def add_scatterer(self, name, coefficient, phase_function=None):
+        self._user_components.append(
+            {
+                "cls": Scatterer,
+                "name": name,
+                "coefficient": coefficient,
+                "phase_function": phase_function,
+            }
+        )
+
+    def add_light(
+        self,
+        name,
+        location,
+        rotation=None,
+        direction=None,
+        wavelength=None,
+        position=None,
+    ):
+        self._user_lights.append(
+            {
+                "name": name,
+                "location": location,
+                "rotation": rotation,
+                "direction": direction,
+                "wavelength": wavelength,
+                "position": position,
+            }
+        )
+
+    def add_solar_cell(self, facets):
+        if not isinstance(facets, (list, tuple, set)):
+            raise ValueError("Facets should be a set. e.g. `{'left', 'right'}`")
+        facets = set(facets)
+        allowed = {"left", "near", "far", "right"}
+        if not facets.issubset(allowed):
+            raise ValueError("Solar cell have allowed surfaces", allowed)
+        self._solar_cell_surfaces = facets.union(self._solar_cell_surfaces)
+
+    def add_back_surface_mirror(self):
+        self._back_surface_mirror_info = {"want_back_surface_mirror": True}
+
+    def add_air_gap_mirror(self, lambertian=False):
+        self._air_gap_mirror_info = {
+            "want_air_gap_mirror": True,
+            "lambertian": lambertian,
+        }
+
+    # -- visualisation -------------------------------------------------
+
+    def show(self, **kwargs):
+        """Render the scene; returns the renderer."""
+        if self._scene is None:
+            self._make_scene()
+        from pvtrace_tpu.scene.renderer import SceneRenderer
+
+        self._renderer = SceneRenderer()
+        self._renderer.render(self._scene)
+        return self._renderer
+
+    # -- simulation ----------------------------------------------------
+
+    def simulate(self, n, progress=None, emit_method="kT", engine="auto",
+                 seed=None):
+        """Trace `n` photons and build the results dataframe.
+
+        engine: "auto" uses the device engine when the scene compiles,
+        "python" forces the per-ray oracle tracer.
+        """
+        if self._scene is None:
+            self._make_scene()
+        scene = self._scene
+
+        if self._store is None:
+            store = {"entrance_rays": [], "exit_rays": []}
+        else:
+            store = self._store
+
+        histories = self._trace_histories(
+            scene, n, emit_method=emit_method, engine=engine, seed=seed,
+            progress=progress,
+        )
+        for history in histories:
+            rays, events = zip(*history)
+            store["entrance_rays"].append((rays[1], events[1]))
+            if events[-1] in (Event.ABSORB, Event.KILL, Event.NONRADIATIVE,
+                              Event.REACT):
+                store["exit_rays"].append((rays[-1], events[-1]))
+            elif events[-1] == Event.EXIT:
+                # Store the penultimate location (on the LSC boundary)
+                store["exit_rays"].append((rays[-2], events[-2]))
+
+        self._store = store
+        self._counts = None
+        df = self._make_dataframe()
+        df = self.expand_coords(df, "direction")
+        df = self.expand_coords(df, "position")
+        df = self.label_facets(df, *self.size)
+        self._df = df
+        return df
+
+    def _trace_histories(self, scene, n, emit_method, engine, seed, progress):
+        from pvtrace_tpu import engine as device_engine
+        from pvtrace_tpu.algorithm import photon_tracer
+        from pvtrace_tpu.engine.compiler import UnsupportedSceneError
+
+        if engine != "python":
+            try:
+                result = device_engine.simulate(
+                    scene, n, seed=seed, emit_method=emit_method,
+                    record_every=1,
+                )
+                out = []
+                for i, history in enumerate(result.histories()):
+                    out.append([(ray, event) for ray, event, _ in history])
+                    if progress:
+                        progress(i + 1)
+                return out
+            except UnsupportedSceneError:
+                if engine == "device":
+                    raise
+        out = []
+        for i, ray in enumerate(scene.emit(n)):
+            history = photon_tracer.follow(scene, ray, emit_method=emit_method)
+            out.append(history)
+            if progress:
+                progress(i + 1)
+        return out
+
+    # -- analysis ------------------------------------------------------
+
+    def _make_dataframe(self):
+        rows = []
+        for ray, event in self._store["entrance_rays"]:
+            rep = asdict(ray)
+            rep["kind"] = "entrance"
+            rep["event"] = event.name.lower()
+            rows.append(rep)
+        for ray, event in self._store["exit_rays"]:
+            rep = asdict(ray)
+            rep["kind"] = "exit"
+            rep["event"] = event.name.lower()
+            rows.append(rep)
+        df = pd.DataFrame(rows)
+        self._df = df
+        return df
+
+    def expand_coords(self, df, column):
+        """Expand a coordinate tuple column into _x/_y/_z columns."""
+        coords = np.stack(df[column].values)
+        df["{}_x".format(column)] = coords[:, 0]
+        df["{}_y".format(column)] = coords[:, 1]
+        df["{}_z".format(column)] = coords[:, 2]
+        df = df.drop(columns=column)
+        return df
+
+    def label_facets(self, df, length, width, height):
+        """Label rows with facet names for a box LSC (local frame)."""
+        xmin, xmax = -0.5 * length, 0.5 * length
+        ymin, ymax = -0.5 * width, 0.5 * width
+        zmin, zmax = -0.5 * height, 0.5 * height
+        atol = max(EPS_ZERO, 1e-4)
+        df.loc[np.isclose(df["position_x"], xmin, atol=atol), "facet"] = "left"
+        df.loc[np.isclose(df["position_x"], xmax, atol=atol), "facet"] = "right"
+        df.loc[np.isclose(df["position_y"], ymin, atol=atol), "facet"] = "far"
+        df.loc[np.isclose(df["position_y"], ymax, atol=atol), "facet"] = "near"
+        df.loc[np.isclose(df["position_z"], zmin, atol=atol), "facet"] = "bottom"
+        df.loc[np.isclose(df["position_z"], zmax, atol=atol), "facet"] = "top"
+        return df
+
+    def _make_counts(self, df):
+        if self._counts is not None:
+            return self._counts
+        all_components = self.component_names()
+        all_lights = self.light_names()
+
+        facets = ["left", "right", "near", "far", "top", "bottom"]
+        solar_out, solar_in, lum_out, lum_in = {}, {}, {}, {}
+        for facet in facets:
+            solar_out[facet] = self.spectrum(
+                facets={facet}, source=all_lights, kind="last"
+            ).shape[0]
+            solar_in[facet] = self.spectrum(
+                facets={facet}, source=all_lights, kind="first"
+            ).shape[0]
+            lum_out[facet] = self.spectrum(
+                facets={facet}, source=all_components, kind="last"
+            ).shape[0]
+            lum_in[facet] = self.spectrum(
+                facets={facet}, source=all_components, kind="first"
+            ).shape[0]
+
+        self._counts = counts = pd.DataFrame(
+            {
+                "Solar In": pd.Series(solar_in),
+                "Solar Out": pd.Series(solar_out),
+                "Luminescent Out": pd.Series(lum_out),
+                "Luminescent In": pd.Series(lum_in),
+            },
+            index=facets,
+        )
+        return counts
+
+    def spectrum(self, facets=set(), kind="last", source="all", events=None):
+        if self._df is None:
+            raise ValueError("Run a simulation before calling this method.")
+        df = self._df
+
+        if kind is not None and kind not in {"first", "last"}:
+            raise ValueError("Direction must be either `'first'` or `'last'.`")
+        if kind is None:
+            want_kind = pd.Series(True, index=df.index)
+        elif kind == "first":
+            want_kind = df["kind"] == "entrance"
+        else:
+            want_kind = df["kind"] == "exit"
+
+        all_sources = self.component_names() | self.light_names()
+        if source == "all":
+            want_source = df["source"].isin(all_sources)
+        else:
+            if isinstance(source, str):
+                source = {source}
+            unknown = set(source) - all_sources
+            if unknown:
+                raise ValueError("Unknown source requested.", unknown)
+            want_source = df["source"].isin(set(source))
+
+        if isinstance(facets, (list, tuple, set)):
+            if len(facets) > 0:
+                want_facets = df["facet"].isin(set(facets))
+            else:
+                want_facets = pd.Series(True, index=df.index)
+        else:
+            raise ValueError(
+                "`'facets'` should be a set `{'left', 'right'}`", {"got": facets}
+            )
+
+        if events is None:
+            want_events = pd.Series(True, index=df.index)
+        else:
+            all_events = {e.name.lower() for e in Event}
+            if isinstance(events, (list, tuple, set)):
+                events = set(events)
+                if not events.issubset(all_events):
+                    raise ValueError(
+                        "Contained some unknown events",
+                        {"got": events, "expected": all_events},
+                    )
+                want_events = df["event"].isin(events)
+            else:
+                raise ValueError(
+                    "Events must be set of event strings",
+                    {"allowed": all_events},
+                )
+
+        return df.loc[want_kind & want_source & want_facets & want_events][
+            "wavelength"
+        ]
+
+    def counts(self):
+        df = self._df
+        if df is None:
+            df = self._make_dataframe()
+            df = self.expand_coords(df, "direction")
+            df = self.expand_coords(df, "position")
+            df = self.label_facets(df, *self.size)
+        return self._make_counts(df)
+
+    def summary(self):
+        counts = self._make_counts(self._df)
+        all_facets = {"left", "right", "near", "far", "top", "bottom"}
+
+        lum_collected = sum(
+            counts["Luminescent Out"][f] for f in self._solar_cell_surfaces
+        )
+        lum_escaped = sum(
+            counts["Luminescent Out"][f]
+            for f in all_facets - self._solar_cell_surfaces
+        )
+        incident = sum(counts["Solar In"][f] for f in all_facets)
+        lost = self.spectrum(
+            source="all",
+            events={"absorb", "nonradiative", "react", "kill"},
+            kind="last",
+        ).shape[0]
+
+        optical_efficiency = lum_collected / incident if incident else np.nan
+        denom = lum_collected + lum_escaped
+        waveguide_efficiency = lum_collected / denom if denom else np.nan
+
+        (l, w, d) = self.size
+        a1 = w * l
+        a2 = 2 * l * d + 2 * w * d
+        Cg = a1 / a2
+        n = self.n1
+        return pd.Series(
+            {
+                "Optical Efficiency": optical_efficiency,
+                "Waveguide Efficiency": waveguide_efficiency,
+                "Waveguide Efficiency (Thermodynamic Prediction)": (
+                    n ** 2 / (Cg + n ** 2)
+                ),
+                "Non-radiative Loss (fraction):": lost / incident
+                if incident
+                else np.nan,
+                "Incident": incident,
+                "Geometric Concentration": Cg,
+                "Refractive Index": n,
+                "Cell Surfaces": self._solar_cell_surfaces,
+                "Components": self.component_names(),
+                "Lights": self.light_names(),
+            }
+        )
+
+    def report(self):
+        print()
+        print("Simulation Report")
+        print("-----------------")
+        print()
+        print("Surface Counts:")
+        print(self.counts())
+        print()
+        print("Summary:")
+        print(self.summary())

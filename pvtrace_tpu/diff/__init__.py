@@ -1,0 +1,3 @@
+from pvtrace_tpu.diff import transport
+
+__all__ = ["transport"]

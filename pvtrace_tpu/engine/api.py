@@ -135,6 +135,19 @@ class EngineResult:
             )
         return results
 
+    def fate_counts(self):
+        """Counter of terminal fates over EVERY traced ray (lossless,
+        unlike `event_counts` which covers only recorded histories).
+        Index 10 counts rays that left the scene without further hits."""
+        fates = self.data["fates"]
+        out = collections.Counter()
+        for value in (Event.EXIT, Event.NONRADIATIVE, Event.REACT, Event.KILL):
+            if fates[value.value]:
+                out[value] = int(fates[value.value])
+        if fates[10]:
+            out["NO_HIT"] = int(fates[10])
+        return out
+
     def event_counts(self):
         """Counter of logged events by Event member (recorded rays only)."""
         counts = self.data["counts"]
@@ -201,11 +214,30 @@ def _get_tracer(compiled, cfg):
     key = (id(compiled), cfg)
     fn = _TRACER_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(
-            lambda tables, p, d, w, k: tracer_module.trace_bundle(
-                tables, cfg, p, d, w, k
+        import jax.numpy as jnp
+
+        def traced(tables, p, d, w, k):
+            tallies, log, counts, steps = tracer_module.trace_bundle(
+                compiled, cfg, tables, p, d, w, k
             )
-        )
+            # Device->host transfers have high fixed latency on remote
+            # TPU links: pack every small output into two flat arrays so
+            # the host does exactly two fetches (plus the event log in
+            # validation runs).
+            ints = jnp.concatenate(
+                [
+                    tallies["distinct"],
+                    tallies["cross"],
+                    tallies["bins"],
+                    tallies["fates"],
+                    counts,
+                    jnp.reshape(steps, (1,)),
+                ]
+            )
+            floats = jnp.ravel(tallies["sums"])
+            return ints, floats, log
+
+        fn = jax.jit(traced)
         _TRACER_CACHE[key] = fn
     return fn
 
@@ -266,23 +298,33 @@ def simulate(
 
     key = jax.random.PRNGKey(int(seed))
     tic = time.perf_counter()
-    tallies, log, counts, steps = fn(
+    ints_dev, floats_dev, log = fn(
         tables,
         jnp.asarray(positions.astype(dtype)),
         jnp.asarray(directions.astype(dtype)),
         jnp.asarray(wavelengths.astype(dtype)),
         key,
     )
-    jax.block_until_ready(tallies)
+    jax.block_until_ready(ints_dev)
     elapsed = time.perf_counter() - tic
 
+    ints = np.asarray(ints_dev)
+    floats = np.asarray(floats_dev)
+    R = max(compiled.n_recorders, 1)
+    S = max(cfg.n_slots, 1)
+    parts = np.split(
+        ints,
+        np.cumsum([R, R, cfg.total_bins + 1, 11, S]),
+    )
+    distinct, crossings, bins, fates, counts, steps = parts
     data = {
-        "rec_distinct": np.asarray(tallies["distinct"]),
-        "rec_crossings": np.asarray(tallies["cross"]),
-        "rec_sums": np.asarray(tallies["sums"]),
-        "rec_bins": np.asarray(tallies["bins"])[:-1],  # drop overflow slot
-        "counts": np.asarray(counts)[: cfg.n_slots],
-        "steps": int(steps),
+        "rec_distinct": distinct,
+        "rec_crossings": crossings,
+        "rec_sums": floats.reshape(R, 8),
+        "rec_bins": bins[:-1],  # drop overflow slot
+        "fates": fates,
+        "counts": counts[: cfg.n_slots],
+        "steps": int(steps[0]),
     }
     log_fields = (
         "kind", "hit", "container", "adjacent", "component", "source",

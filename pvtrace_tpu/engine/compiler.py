@@ -209,6 +209,108 @@ class CompiledScene:
             for k in range(self.comp_count[i]):
                 self.node_alpha[i] += self.comp_coef[self.node_comp_idx[i, k]]
 
+        # -- packed spectral table -------------------------------------
+        # TPU gathers are expensive; the hot loop does exactly ONE wide
+        # gather for all per-step spectral data. Layout per node row
+        # (grid index i), slot pairs (value at i, value at i+1):
+        #   slots 0..K-1:              cumulative attenuation over the
+        #                              node's components (slot K-1 = alpha)
+        #   slots K+2j, K+2j+1:        j-th luminophore of the node:
+        #                              kT-shifted emission CDF, plain CDF
+        # A second [n_lum*M, 2] gather serves inverse-CDF emission
+        # sampling. The kT redshift (component.py:407-412) is baked into
+        # the table at compile time so the lookup shares the λ column.
+        kB_eV = 1.380649e-23 / 1.60217662e-19
+        node_meta = []
+        lum_rows = []
+        slot_width = 1
+        for i, node in enumerate(nodes):
+            K = int(self.comp_count[i])
+            comp_ids = [int(self.node_comp_idx[i, k]) for k in range(K)]
+            lum_ordinals = {}
+            for k, cid in enumerate(comp_ids):
+                if self.comp_type[cid] == COMP_LUMINOPHORE:
+                    lum_ordinals[cid] = len(lum_ordinals)
+            W = K + 2 * len(lum_ordinals)
+            slot_width = max(slot_width, W)
+            node_meta.append((K, tuple(comp_ids), lum_ordinals))
+        self.pack_width = slot_width
+
+        self.spec_pack = np.zeros((n * L, 2 * slot_width), dtype=np.float64)
+        lum_index = {}
+        for i, node in enumerate(nodes):
+            K, comp_ids, lum_ordinals = node_meta[i]
+            rows = slice(i * L, (i + 1) * L)
+            cum = np.zeros(L)
+            for k, cid in enumerate(comp_ids):
+                cum = cum + self.comp_coef[cid]
+                self.spec_pack[rows, 2 * k] = cum
+                self.spec_pack[rows, 2 * k + 1] = np.append(cum[1:], cum[-1])
+            for cid, j in lum_ordinals.items():
+                component = comps[cid][1]
+                edist = component._ems_dist
+                e_nm = 1240.0 / (1240.0 / grid + 1.5 * kB_eV * 300.0)
+                cdf_kt = np.interp(e_nm, edist._x, edist._cdf)
+                cdf_rs = np.interp(grid, edist._x, edist._cdf)
+                wk = K + 2 * j
+                wr = K + 2 * j + 1
+                self.spec_pack[rows, 2 * wk] = cdf_kt
+                self.spec_pack[rows, 2 * wk + 1] = np.append(cdf_kt[1:], cdf_kt[-1])
+                self.spec_pack[rows, 2 * wr] = cdf_rs
+                self.spec_pack[rows, 2 * wr + 1] = np.append(cdf_rs[1:], cdf_rs[-1])
+                if cid not in lum_index:
+                    lum_index[cid] = len(lum_index)
+                    lum_rows.append(self.ems_icdf[cid])
+        self.lum_index = lum_index
+        self.n_lum = len(lum_rows)
+        if lum_rows:
+            icdf = np.stack(lum_rows)  # [n_lum, M]
+            pairs = np.stack(
+                [icdf, np.concatenate([icdf[:, 1:], icdf[:, -1:]], axis=1)],
+                axis=-1,
+            )
+            self.ems_icdf_pairs = pairs.reshape(self.n_lum * M, 2)
+        else:
+            self.ems_icdf_pairs = np.zeros((1, 2), dtype=np.float64)
+
+        # Static structural metadata consumed by the tracer's unrolled
+        # code generation (hashable nested tuples).
+        self.node_static = tuple(
+            (
+                int(self.geom_type[i]),
+                int(self.surface_type[i]),
+                node_meta[i][0],
+                node_meta[i][1],
+                tuple(
+                    sorted(
+                        (cid, j) for cid, j in node_meta[i][2].items()
+                    )
+                ),
+                tuple(
+                    (
+                        int(self.ovr_mode[i, f]),
+                        tuple(float(v) for v in self.ovr_normal[i, f]),
+                        float(self.ovr_atol[i, f]),
+                    )
+                    for f in range(self.max_overrides)
+                    if self.ovr_mode[i, f] >= 0
+                ),
+            )
+            for i in range(n)
+        )
+        self.comp_static = tuple(
+            (
+                int(self.comp_type[c]),
+                float(self.comp_qy[c]),
+                float(self.comp_tau_rad[c]),
+                float(self.comp_tau_nr[c]),
+                int(self.comp_phase_type[c]),
+                float(self.comp_phase_param[c]),
+                int(self.lum_index.get(c, -1)),
+            )
+            for c in range(self.n_components)
+        )
+
         # -- numeric tolerance -----------------------------------------
         # Forward-hit filter: intersections closer than eps along the ray
         # are "on surface". Scaled to the scene extent for f32 safety.
@@ -401,6 +503,8 @@ class CompiledScene:
             "node_alpha": f(self.node_alpha),
             "ems_cdf": f(self.ems_cdf),
             "ems_icdf": f(self.ems_icdf),
+            "spec_pack": f(self.spec_pack),
+            "ems_icdf_pairs": f(self.ems_icdf_pairs),
             "rec_node": i(self.rec_node),
             "rec_event": i(self.rec_event),
             "rec_has_facet": i(self.rec_has_facet),

@@ -1,26 +1,43 @@
 """The device wavefront tracer — the heart of the framework.
 
 TPU-native re-design of the reference's per-ray native kernel
-(``engine/_kernel.pyx:603-897``): instead of one ray per OpenMP thread,
-the whole photon bundle is stepped in lockstep as structure-of-arrays
-state inside a ``lax.while_loop``. Every branch of the per-ray event
-loop becomes a masked ``where``; recorder tallies become masked
-scatter-adds; per-ray xoshiro streams become per-photon
-``jax.random.fold_in`` keys (bitwise reproducible regardless of batch
-sharding — the same scheduling-independence guarantee as the
-reference's seed-per-ray design, ``_kernel.pyx:71-96``).
+(``engine/_kernel.pyx:603-897``): the whole photon bundle advances in
+lockstep as structure-of-arrays state inside a ``lax.while_loop``; every
+branch of the per-ray event loop is a masked ``where``; per-ray xoshiro
+streams become per-photon ``jax.random.fold_in`` keys (bitwise
+reproducible regardless of batch sharding).
+
+Performance-critical design decisions (measured on v5e):
+
+* **Gathers are the enemy** (~6-14 ms per 1M-photon gather vs ~0.1 ms
+  per elementwise op). The scene structure (node count, geometry types,
+  component wiring, surfaces, facet overrides) is *static*, so the step
+  is code-generated per scene: geometry params, rigid transforms and
+  material scalars are baked in as compile-time constants, and all
+  per-node / per-component "table lookups" become short unrolled
+  ``where`` chains.
+* The only true gathers are the two wavelength-dependent ones, packed
+  into single wide rows by the compiler (``spec_pack``: cumulative
+  attenuation + pre-shifted emission CDFs in one [B, 2W] gather;
+  ``ems_icdf_pairs``: inverse-CDF emission sampling in one [B, 2]
+  gather, executed under ``lax.cond`` only on steps where a photon
+  actually emits).
+* Trig-free optics: Fresnel from cos(theta), phase sampling via
+  (sin, cos) identities — no arccos/arcsin in the hot path. The
+  incidence angle is materialised only when recorders need it.
+* State is flat [B] component arrays (never [B, 3] / [B, N, k]): minor
+  dimensions of 3 waste 125/128 lanes of a TPU tile.
 
 Event semantics replicate ``photon_tracer.step_forward`` event-for-event:
 container = unique-forward-hit node nearest the origin, EXIT on hitting
 the root, exponential free path vs boundary distance, component roulette
 proportional to attenuation, quantum-yield coin flip, emission-CDF
 inverse sampling with kT/redshift truncation, Fresnel/null surface
-branch, KILL on step/budget caps.
+branch with per-facet overrides, KILL on step/budget caps.
 
-The loop terminates as soon as every photon in the bundle is dead, so
-the common case costs ~(longest-lived photon) steps, not ``maxsteps``.
+The loop terminates as soon as every photon is dead, so a bundle costs
+~(longest-lived photon) steps, not ``maxsteps``.
 """
-import functools
 from typing import NamedTuple
 
 import jax
@@ -28,24 +45,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from pvtrace_tpu.engine import compiler as comp
-from pvtrace_tpu.ops.intersect import (
-    intersect_box,
-    intersect_cylinder,
-    intersect_sphere,
-    local_normal_box,
-    local_normal_cylinder,
-    local_normal_sphere,
-)
-from pvtrace_tpu.ops.linalg import dot3, transform_point, transform_vector
-from pvtrace_tpu.ops.optics import (
-    fresnel_reflectivity,
-    fresnel_refract,
-    rotate_from_z,
-    sample_lambertian,
-    sample_phase,
-    specular_reflect,
-)
-from pvtrace_tpu.ops.spectra import uniform_lookup
 
 # Matches the reference kernel's constants (_kernel.pyx:29-34)
 ALPHA_ZERO = 1e-8
@@ -55,6 +54,8 @@ KB_EV = 1.380649e-23 / 1.60217662e-19
 # Event ids (light.event.Event values)
 EV_GENERATE, EV_REFLECT, EV_TRANSMIT, EV_ABSORB = 0, 1, 2, 3
 EV_NONRADIATIVE, EV_SCATTER, EV_EMIT, EV_EXIT, EV_REACT, EV_KILL = 4, 5, 6, 7, 8, 9
+FATE_NO_HIT = 10  # extra fate-counter slot: ray left scene without hits
+N_FATES = 11
 
 # Recorder selector ids (engine.recorder.EVENTS values)
 REC_ENTERING, REC_ESCAPING, REC_REFLECTED = 0, 1, 2
@@ -63,24 +64,26 @@ SEL_NONE = -1
 
 OVR_MIRROR, OVR_ABSORB, OVR_LAMBERTIAN = 0, 1, 2
 
+_INF = float(np.inf)
+
 
 class TraceConfig(NamedTuple):
     """Static (hashable) compile-time configuration."""
 
     n_nodes: int
     root_id: int
-    max_components: int
-    max_overrides: int
     n_recorders: int
-    hist_specs: tuple  # ((rec, prop_a, prop_b, na, nb, lo_a, hi_a, lo_b, hi_b, offset), ...)
+    hist_specs: tuple
     total_bins: int
     grid_x0: float
     grid_dx: float
+    grid_n: int
     icdf_n: int
+    n_lum: int
     eps: float
     maxsteps: int
     max_events: int
-    n_slots: int       # number of recorded-history slots (0 = none)
+    n_slots: int
     record_every: int
     emit_method: int
     dtype: type
@@ -95,14 +98,14 @@ def make_config(compiled, n_rays, dtype=np.float32, maxsteps=1000,
     return TraceConfig(
         n_nodes=len(compiled.nodes),
         root_id=compiled.root_id,
-        max_components=compiled.max_components,
-        max_overrides=compiled.max_overrides,
         n_recorders=compiled.n_recorders,
         hist_specs=tuple(tuple(h) for h in compiled.hist_specs),
         total_bins=compiled.total_bins,
         grid_x0=compiled.grid_x0,
         grid_dx=compiled.grid_dx,
+        grid_n=compiled.grid_n,
         icdf_n=compiled.icdf_n,
+        n_lum=compiled.n_lum,
         eps=compiled.resolved_eps(dtype),
         maxsteps=int(maxsteps),
         max_events=int(max_events),
@@ -116,12 +119,140 @@ def make_config(compiled, n_rays, dtype=np.float32, maxsteps=1000,
 
 
 # ----------------------------------------------------------------------
-# Event log
+# Small static helpers (python-level codegen over the scene structure)
 
 
-def _empty_log(cfg, B):
-    """Loop-carried event-log arrays. Slot cfg.n_slots is a dump slot for
-    unrecorded photons so every write is unconditional."""
+def _select(index_array, values, init):
+    """Unrolled one-hot select: values[i] where index_array == i."""
+    acc = init
+    for i, v in enumerate(values):
+        acc = jnp.where(index_array == i, v, acc)
+    return acc
+
+
+def _member(index_array, members):
+    """Boolean mask: index_array in static set `members`."""
+    if not members:
+        return jnp.zeros(index_array.shape, dtype=bool)
+    acc = index_array == members[0]
+    for m in members[1:]:
+        acc = acc | (index_array == m)
+    return acc
+
+
+def _intersect_node_static(gtype, params, o, d, eps):
+    """Forward hits of one node's geometry (static type + params).
+
+    o, d: component triples of local-frame ray. Returns list of
+    (t, valid) candidate pairs replicating _kernel.pyx:245-356 filters.
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    if gtype == comp.GEOM_BOX:
+        hx, hy, hz = 0.5 * params[0], 0.5 * params[1], 0.5 * params[2]
+        tmin = jnp.full_like(ox, -_INF)
+        tmax = jnp.full_like(ox, _INF)
+        miss = jnp.zeros(ox.shape, dtype=bool)
+        for oo, dd, h in ((ox, dx, hx), (oy, dy, hy), (oz, dz, hz)):
+            par = jnp.abs(dd) < 1e-30
+            inv = 1.0 / jnp.where(par, 1.0, dd)
+            t1 = (-h - oo) * inv
+            t2 = (h - oo) * inv
+            lo = jnp.minimum(t1, t2)
+            hi = jnp.maximum(t1, t2)
+            lo = jnp.where(par, -_INF, lo)
+            hi = jnp.where(par, _INF, hi)
+            miss = miss | (par & ((oo < -h) | (oo > h)))
+            tmin = jnp.maximum(tmin, lo)
+            tmax = jnp.minimum(tmax, hi)
+        ok = (tmax >= tmin) & ~miss
+        return [(tmin, ok & (tmin > eps)), (tmax, ok & (tmax > eps))]
+    if gtype == comp.GEOM_SPHERE:
+        radius = params[0]
+        a = dx * dx + dy * dy + dz * dz
+        b = 2.0 * (dx * ox + dy * oy + dz * oz)
+        c = ox * ox + oy * oy + oz * oz - radius * radius
+        disc = b * b - 4.0 * a * c
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+        t1 = (-b - sq) / (2.0 * a)
+        t2 = (-b + sq) / (2.0 * a)
+        return [(t1, ok & (t1 > eps)), (t2, ok & (t2 > eps))]
+    # Capped cylinder
+    length, radius = params[0], params[1]
+    half = 0.5 * length
+    a = dx * dx + dy * dy
+    hasb = a > 1e-30
+    sa = jnp.where(hasb, a, 1.0)
+    b = 2.0 * (ox * dx + oy * dy)
+    c = ox * ox + oy * oy - radius * radius
+    disc = b * b - 4.0 * a * c
+    ok = hasb & (disc >= 0.0)
+    sq = jnp.sqrt(jnp.where(disc >= 0.0, disc, 0.0))
+    tb1 = (-b - sq) / (2.0 * sa)
+    tb2 = (-b + sq) / (2.0 * sa)
+    zb1 = oz + tb1 * dz
+    zb2 = oz + tb2 * dz
+    out = [
+        (tb1, ok & (zb1 > -half) & (zb1 < half) & (tb1 > eps)),
+        (tb2, ok & (zb2 > -half) & (zb2 < half) & (tb2 > eps)),
+    ]
+    hasc = jnp.abs(dz) > 1e-30
+    sdz = jnp.where(hasc, dz, 1.0)
+    for zcap in (-half, half):
+        t = (zcap - oz) / sdz
+        r2 = (ox + t * dx) ** 2 + (oy + t * dy) ** 2
+        out.append((t, hasc & (r2 <= radius * radius) & (t > eps)))
+    return out
+
+
+def _local_normal_static(gtype, params, p):
+    """Outward local normal triple at local point triple `p` for a
+    static geometry (kernel local_normal, _kernel.pyx:359-400)."""
+    px, py, pz = p
+    if gtype == comp.GEOM_BOX:
+        hx, hy, hz = 0.5 * params[0], 0.5 * params[1], 0.5 * params[2]
+        # Face order (x,-),(x,+),(y,-),(y,+),(z,-),(z,+), first-min wins
+        faces = (
+            (jnp.abs(px + hx), (-1.0, 0.0, 0.0)),
+            (jnp.abs(px - hx), (1.0, 0.0, 0.0)),
+            (jnp.abs(py + hy), (0.0, -1.0, 0.0)),
+            (jnp.abs(py - hy), (0.0, 1.0, 0.0)),
+            (jnp.abs(pz + hz), (0.0, 0.0, -1.0)),
+            (jnp.abs(pz - hz), (0.0, 0.0, 1.0)),
+        )
+        best, (nx, ny, nz) = faces[0][0], [
+            jnp.full_like(px, v) for v in faces[0][1]
+        ]
+        for dist, (vx, vy, vz) in faces[1:]:
+            closer = dist < best
+            nx = jnp.where(closer, vx, nx)
+            ny = jnp.where(closer, vy, ny)
+            nz = jnp.where(closer, vz, nz)
+            best = jnp.minimum(best, dist)
+        return nx, ny, nz
+    if gtype == comp.GEOM_SPHERE:
+        mag = jnp.sqrt(px * px + py * py + pz * pz)
+        mag = jnp.where(mag == 0.0, 1.0, mag)
+        return px / mag, py / mag, pz / mag
+    length = params[0]
+    half = 0.5 * length
+    atol = 1e-8 + 1e-5 * abs(half)
+    bottom = jnp.abs(pz + half) <= atol
+    top = jnp.abs(pz - half) <= atol
+    r = jnp.sqrt(px * px + py * py)
+    sr = jnp.where(r == 0.0, 1.0, r)
+    nx = jnp.where(bottom | top, 0.0, px / sr)
+    ny = jnp.where(bottom | top, 0.0, py / sr)
+    nz = jnp.where(bottom, -1.0, jnp.where(top, 1.0, 0.0))
+    return nx, ny, nz
+
+
+# ----------------------------------------------------------------------
+# Event log (validation path; no-op when record_every == 0)
+
+
+def _empty_log(cfg):
     S = cfg.n_slots + 1
     E = cfg.max_events
     f = cfg.dtype
@@ -142,13 +273,8 @@ def _empty_log(cfg, B):
 
 
 def _record(log, nevents, slot, mask, cfg, *, kind, hit, container, adjacent,
-            component, source, pos, direction, normal, wavelength, travelled,
+            component, source, pos3, dir3, normal3, wavelength, travelled,
             duration):
-    """Masked append of one event per photon into the log.
-
-    A no-op when history recording is disabled (record_every=0), so the
-    benchmark path carries no event-log traffic at all.
-    """
     if cfg.n_slots == 0:
         return log, nevents
     S = cfg.n_slots
@@ -156,6 +282,7 @@ def _record(log, nevents, slot, mask, cfg, *, kind, hit, container, adjacent,
     write = mask & (slot < S) & (nevents < E)
     row = jnp.where(write, slot, S)
     col = jnp.clip(nevents, 0, E - 1)
+    B = mask.shape[0]
 
     def put_scalar(name, values):
         cur = log[name][row, col]
@@ -167,7 +294,6 @@ def _record(log, nevents, slot, mask, cfg, *, kind, hit, container, adjacent,
             jnp.where(write[..., None], values, cur)
         )
 
-    B = mask.shape[0]
     as_i = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.int32), (B,))
     as_f = lambda v: jnp.broadcast_to(jnp.asarray(v, cfg.dtype), (B,))
     put_scalar("kind", as_i(kind))
@@ -176,10 +302,10 @@ def _record(log, nevents, slot, mask, cfg, *, kind, hit, container, adjacent,
     put_scalar("adjacent", as_i(adjacent))
     put_scalar("component", as_i(component))
     put_scalar("source", as_i(source))
-    put_vec("position", pos.astype(cfg.dtype))
-    put_vec("direction", direction.astype(cfg.dtype))
-    zero3 = jnp.zeros_like(pos)
-    put_vec("normal", (normal if normal is not None else zero3).astype(cfg.dtype))
+    zero3 = jnp.zeros((B, 3), cfg.dtype)
+    put_vec("position", pos3.astype(cfg.dtype))
+    put_vec("direction", dir3.astype(cfg.dtype))
+    put_vec("normal", (normal3 if normal3 is not None else zero3).astype(cfg.dtype))
     put_scalar("wavelength", as_f(wavelength))
     put_scalar("travelled", as_f(travelled))
     put_scalar("duration", as_f(duration))
@@ -198,55 +324,60 @@ def _empty_tallies(cfg, B):
         "sums": jnp.zeros((R, 8), dtype=cfg.dtype),
         "bins": jnp.zeros(cfg.total_bins + 1, dtype=jnp.int32),
         "seen": jnp.zeros((B, R), dtype=bool),
+        "fates": jnp.zeros(N_FATES, dtype=jnp.int32),
     }
 
 
-def _tally(tallies, tables, cfg, sel, tnode, have_normal, wnormal, lpos,
+def _tally(tallies, compiled, cfg, sel, tnode, have_normal, wnormal3, lpos3,
            angle, wavelength, travelled, duration):
     """Accumulate one (optional) interaction per photon into matching
-    recorders (kernel ``tally``, _kernel.pyx:501-556): crossings on every
-    match, moments/bins per distinct ray only."""
-    if cfg.n_recorders == 0:
-        return tallies
-    seen = tallies["seen"]
+    recorders (kernel tally, _kernel.pyx:501-556)."""
+    seen0 = tallies["seen"]
+    seen = seen0
     distinct, cross = tallies["distinct"], tallies["cross"]
     sums, bins = tallies["sums"], tallies["bins"]
     props = {
         0: wavelength, 1: angle, 2: duration, 3: travelled,
-        4: lpos[:, 0], 5: lpos[:, 1], 6: lpos[:, 2],
+        4: lpos3[0], 5: lpos3[1], 6: lpos3[2],
     }
-    for r in range(cfg.n_recorders):
-        m = (tnode == tables["rec_node"][r]) & (sel == tables["rec_event"][r])
-        has_facet = tables["rec_has_facet"][r] > 0
-        facet_ok = have_normal & jnp.all(
-            jnp.abs(tables["rec_facet"][r] - wnormal) <= tables["rec_atol"][r],
-            axis=-1,
+
+    def match_mask(r):
+        m = (tnode == int(compiled.rec_node[r])) & (
+            sel == int(compiled.rec_event[r])
         )
-        m = m & jnp.where(has_facet, facet_ok, True)
+        if compiled.rec_has_facet[r]:
+            fx, fy, fz = compiled.rec_facet[r]
+            atol = float(compiled.rec_atol[r])
+            m = m & have_normal
+            m = m & (jnp.abs(fx - wnormal3[0]) <= atol)
+            m = m & (jnp.abs(fy - wnormal3[1]) <= atol)
+            m = m & (jnp.abs(fz - wnormal3[2]) <= atol)
+        return m
+
+    for r in range(cfg.n_recorders):
+        m = match_mask(r)
         cross = cross.at[r].add(jnp.sum(m, dtype=jnp.int32))
-        new = m & ~seen[:, r]
-        seen = seen.at[:, r].set(seen[:, r] | m)
+        new = m & ~seen0[:, r]
+        seen = seen.at[:, r].set(seen0[:, r] | m)
         distinct = distinct.at[r].add(jnp.sum(new, dtype=jnp.int32))
         newf = new.astype(cfg.dtype)
-        vals = jnp.stack(
-            [
-                wavelength, wavelength * wavelength,
-                angle, angle * angle,
-                duration, duration * duration,
-                travelled, travelled * travelled,
-            ],
-            axis=-1,
+        sums = sums.at[r].add(
+            jnp.stack(
+                [
+                    jnp.sum(wavelength * newf),
+                    jnp.sum(wavelength * wavelength * newf),
+                    jnp.sum(angle * newf),
+                    jnp.sum(angle * angle * newf),
+                    jnp.sum(duration * newf),
+                    jnp.sum(duration * duration * newf),
+                    jnp.sum(travelled * newf),
+                    jnp.sum(travelled * travelled * newf),
+                ]
+            )
         )
-        sums = sums.at[r].add(jnp.sum(vals * newf[:, None], axis=0))
     for (r, prop_a, prop_b, na, nb, lo_a, hi_a, lo_b, hi_b, offset) in cfg.hist_specs:
-        m = (tnode == tables["rec_node"][r]) & (sel == tables["rec_event"][r])
-        has_facet = tables["rec_has_facet"][r] > 0
-        facet_ok = have_normal & jnp.all(
-            jnp.abs(tables["rec_facet"][r] - wnormal) <= tables["rec_atol"][r],
-            axis=-1,
-        )
-        m = m & jnp.where(has_facet, facet_ok, True)
-        new = m & ~tallies["seen"][:, r]  # pre-update seen: first match only
+        m = match_mask(r)
+        new = m & ~seen0[:, r]
         va = props[prop_a]
         ia = jnp.floor((va - lo_a) / (hi_a - lo_a) * na).astype(jnp.int32)
         ok = new & (ia >= 0) & (ia < na)
@@ -259,73 +390,63 @@ def _tally(tallies, tables, cfg, sel, tnode, have_normal, wnormal, lpos,
             flat = offset + ia * nb + ib
         idx = jnp.where(ok, flat, cfg.total_bins)
         bins = bins.at[idx].add(1)
-    tallies = dict(tallies)
-    tallies["seen"] = seen
-    tallies["distinct"] = distinct
-    tallies["cross"] = cross
-    tallies["sums"] = sums
-    tallies["bins"] = bins
-    return tallies
-
-
-# ----------------------------------------------------------------------
-# Geometry helpers over all nodes
-
-
-def _intersect_all(tables, cfg, pos, direction):
-    """[B, N, 4] forward distances of every photon with every node."""
-    w2l = tables["w2l"]  # [N, 4, 4]
-    local_o = (
-        jnp.einsum("nij,bj->bni", w2l[:, :3, :3], pos) + w2l[None, :, :3, 3]
-    )
-    local_d = jnp.einsum("nij,bj->bni", w2l[:, :3, :3], direction)
-    params = tables["geom_params"]  # [N, 4]
-    eps = cfg.eps
-    t_box = intersect_box(params[None, :, :3], local_o, local_d, eps)
-    t_sph = intersect_sphere(params[None, :, 0], local_o, local_d, eps)
-    t_cyl = intersect_cylinder(
-        params[None, :, 0], params[None, :, 1], local_o, local_d, eps
-    )
-    gt = tables["geom_type"][None, :, None]
-    return jnp.where(
-        gt == comp.GEOM_BOX,
-        t_box,
-        jnp.where(gt == comp.GEOM_SPHERE, t_sph, t_cyl),
-    )
-
-
-def _local_normal(tables, cfg, node, local_p):
-    """Outward local-frame normal on `node`'s geometry at `local_p`."""
-    params = tables["geom_params"][node]  # [B, 4]
-    n_box = local_normal_box(params[:, :3], local_p)
-    n_sph = local_normal_sphere(local_p)
-    n_cyl = local_normal_cylinder(params[:, 0], local_p)
-    gt = tables["geom_type"][node][:, None]
-    return jnp.where(
-        gt == comp.GEOM_BOX,
-        n_box,
-        jnp.where(gt == comp.GEOM_SPHERE, n_sph, n_cyl),
-    )
+    out = dict(tallies)
+    out["seen"] = seen
+    out["distinct"] = distinct
+    out["cross"] = cross
+    out["sums"] = sums
+    out["bins"] = bins
+    return out
 
 
 # ----------------------------------------------------------------------
 # The trace loop
 
 
-def trace_bundle(tables, cfg: TraceConfig, positions, directions, wavelengths,
-                 base_key, index_offset=0):
-    """Trace a photon bundle to completion. All array args are device
-    arrays; `cfg` is static. Returns (tallies, event_log, counts, steps).
+def trace_bundle(compiled, cfg: TraceConfig, tables, positions, directions,
+                 wavelengths, base_key, index_offset=0):
+    """Trace a photon bundle to completion.
 
-    `index_offset` shifts the global photon index used for RNG key
-    folding — sharded shards pass their global offset so results are
-    bitwise independent of the sharding layout.
+    `compiled` supplies static structure + host constants (baked into
+    the program); `tables` supplies the two packed spectral arrays;
+    `cfg` is the static config. Returns (tallies, event_log, counts,
+    steps).
     """
-    B = positions.shape[0]
+    N = cfg.n_nodes
     f = cfg.dtype
-    pos = positions.astype(f)
-    direction = directions.astype(f)
-    wav = wavelengths.astype(f)
+    B = positions.shape[0]
+    eps = cfg.eps
+    L = cfg.grid_n
+    M = cfg.icdf_n
+
+    # Host constants baked into the program
+    W2L = np.asarray(compiled.world_to_local, dtype=f)
+    L2W = np.asarray(compiled.local_to_world, dtype=f)
+    GP = np.asarray(compiled.geom_params, dtype=np.float64)
+    NIDX = [float(v) for v in compiled.refractive_index]
+    node_static = compiled.node_static
+    comp_static = compiled.comp_static
+    n_comps = len(comp_static)
+    has_spectra = any(ns[2] > 0 for ns in node_static)
+    any_overrides = any(len(ns[5]) > 0 for ns in node_static)
+    any_lambertian = any(
+        o[0] == OVR_LAMBERTIAN for ns in node_static for o in ns[5]
+    )
+    fresnel_nodes = [
+        n for n in range(N) if node_static[n][1] == comp.SURF_FRESNEL
+    ]
+    # comp -> (node K, lum ordinal) for emission CDF column lookup
+    comp_node_info = {}
+    for n in range(N):
+        K = node_static[n][2]
+        for cid, j in node_static[n][4]:
+            comp_node_info[cid] = (K, j)
+
+    pos0 = positions.astype(f)
+    dir0 = directions.astype(f)
+    px, py, pz = pos0[:, 0], pos0[:, 1], pos0[:, 2]
+    dx_, dy_, dz_ = dir0[:, 0], dir0[:, 1], dir0[:, 2]
+    wav0 = wavelengths.astype(f)
 
     photon_ids = jnp.asarray(index_offset, jnp.uint32) + jnp.arange(
         B, dtype=jnp.uint32
@@ -341,22 +462,21 @@ def trace_bundle(tables, cfg: TraceConfig, positions, directions, wavelengths,
     else:
         slot = jnp.full(B, cfg.n_slots, dtype=jnp.int32)
 
-    log = _empty_log(cfg, B)
+    log = _empty_log(cfg)
     nevents = jnp.zeros(B, dtype=jnp.int32)
-    zero3 = jnp.zeros_like(pos)
-    minus1 = jnp.full(B, -1, dtype=jnp.int32)
+    minus1 = jnp.full(B, -1, jnp.int32)
     log, nevents = _record(
         log, nevents, slot, jnp.ones(B, dtype=bool), cfg,
         kind=EV_GENERATE, hit=minus1, container=minus1, adjacent=minus1,
-        component=minus1, source=minus1, pos=pos, direction=direction,
-        normal=None, wavelength=wav, travelled=jnp.zeros(B, f),
+        component=minus1, source=minus1, pos3=pos0, dir3=dir0,
+        normal3=None, wavelength=wav0, travelled=jnp.zeros(B, f),
         duration=jnp.zeros(B, f),
     )
 
     state = {
-        "pos": pos,
-        "dir": direction,
-        "wav": wav,
+        "px": px, "py": py, "pz": pz,
+        "dx": dx_, "dy": dy_, "dz": dz_,
+        "wav": wav0,
         "trav": jnp.zeros(B, f),
         "dur": jnp.zeros(B, f),
         "source": jnp.full(B, -1, jnp.int32),
@@ -370,13 +490,15 @@ def trace_bundle(tables, cfg: TraceConfig, positions, directions, wavelengths,
         "tallies": _empty_tallies(cfg, B),
     }
 
+    spec_pack = tables["spec_pack"]
+    icdf_pairs = tables["ems_icdf_pairs"]
+
     def cond(state):
         return jnp.any(state["alive"])
 
     def body(state):
-        f32 = cfg.dtype
-        pos = state["pos"]
-        direction = state["dir"]
+        px, py, pz = state["px"], state["py"], state["pz"]
+        dxv, dyv, dzv = state["dx"], state["dy"], state["dz"]
         wav = state["wav"]
         trav = state["trav"]
         dur = state["dur"]
@@ -386,52 +508,86 @@ def trace_bundle(tables, cfg: TraceConfig, positions, directions, wavelengths,
         nevents = state["nevents"]
         slot = state["slot"]
         tallies = state["tallies"]
+        fates = tallies["fates"]
 
         step = state["step"] + 1
         count = state["count"] + alive.astype(jnp.int32)
 
-        # Per-photon, per-step uniforms (counter-based: independent of
-        # scheduling and sharding).
         skeys = jax.vmap(lambda k: jax.random.fold_in(k, step))(state["keys"])
-        u = jax.vmap(lambda k: jax.random.uniform(k, (8,), dtype=f32))(skeys)
+        u = jax.vmap(lambda k: jax.random.uniform(k, (8,), dtype=f))(skeys)
 
-        # --- event budget exhausted: kill recorded rays ----------------
-        recorded = slot < cfg.n_slots
-        budget_kill = alive & recorded & (nevents >= cfg.max_events - 1)
-        log, nevents = _record(
-            log, nevents, slot, budget_kill, cfg,
-            kind=EV_KILL, hit=-1, container=-1, adjacent=-1, component=-1,
-            source=source, pos=pos, direction=direction, normal=None,
-            wavelength=wav, travelled=trav, duration=dur,
-        )
-        alive = alive & ~budget_kill
+        def pos3():
+            return jnp.stack([px, py, pz], axis=-1)
 
-        # --- next hit over every node ---------------------------------
-        t_all = _intersect_all(tables, cfg, pos, direction)  # [B, N, 4]
-        finite = jnp.isfinite(t_all)
-        node_hits = jnp.sum(finite, axis=-1)          # [B, N]
-        node_min_t = jnp.min(t_all, axis=-1)          # [B, N]
-        flat = t_all.reshape(B, -1)
-        first_idx = jnp.argmin(flat, axis=-1)
-        t0 = jnp.take_along_axis(flat, first_idx[:, None], axis=-1)[:, 0]
-        hit = (first_idx // 4).astype(jnp.int32)
-        nhits = jnp.sum(node_hits, axis=-1)
+        def dir3():
+            return jnp.stack([dxv, dyv, dzv], axis=-1)
+
+        # --- event-budget kill (recorded rays only) -------------------
+        if cfg.n_slots > 0:
+            recorded = slot < cfg.n_slots
+            budget_kill = alive & recorded & (nevents >= cfg.max_events - 1)
+            log, nevents = _record(
+                log, nevents, slot, budget_kill, cfg,
+                kind=EV_KILL, hit=-1, container=-1, adjacent=-1, component=-1,
+                source=source, pos3=pos3(), dir3=dir3(), normal3=None,
+                wavelength=wav, travelled=trav, duration=dur,
+            )
+            fates = fates.at[EV_KILL].add(
+                jnp.sum(budget_kill, dtype=jnp.int32)
+            )
+            alive = alive & ~budget_kill
+
+        # --- next hit: static unrolled intersection over nodes --------
+        inf = jnp.full(B, _INF, f)
+        t1 = inf
+        n1 = jnp.zeros(B, jnp.int32)
+        t2 = inf
+        n2 = jnp.zeros(B, jnp.int32)
+        nhits = jnp.zeros(B, jnp.int32)
+        cont_t = inf
+        cont_n = jnp.zeros(B, jnp.int32)
+        local_frames = []
+        for n in range(N):
+            R = W2L[n]
+            lox = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + R[0, 3]
+            loy = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + R[1, 3]
+            loz = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + R[2, 3]
+            ldx = R[0, 0] * dxv + R[0, 1] * dyv + R[0, 2] * dzv
+            ldy = R[1, 0] * dxv + R[1, 1] * dyv + R[1, 2] * dzv
+            ldz = R[2, 0] * dxv + R[2, 1] * dyv + R[2, 2] * dzv
+            local_frames.append((lox, loy, loz, ldx, ldy, ldz))
+            cands = _intersect_node_static(
+                node_static[n][0], GP[n], (lox, loy, loz), (ldx, ldy, ldz), eps
+            )
+            cnt_n = jnp.zeros(B, jnp.int32)
+            tmin_n = inf
+            for t, valid in cands:
+                tv = jnp.where(valid, t, _INF)
+                cnt_n = cnt_n + valid.astype(jnp.int32)
+                tmin_n = jnp.minimum(tmin_n, tv)
+                isfirst = tv < t1
+                issecond = ~isfirst & (tv < t2)
+                t2 = jnp.where(isfirst, t1, jnp.where(issecond, tv, t2))
+                n2 = jnp.where(isfirst, n1, jnp.where(issecond, n, n2))
+                t1 = jnp.where(isfirst, tv, t1)
+                n1 = jnp.where(isfirst, n, n1)
+            nhits = nhits + cnt_n
+            # container candidate: unique-hit node nearest the origin
+            is_cand = (cnt_n == 1) & (tmin_n < cont_t)
+            cont_t = jnp.where(is_cand, tmin_n, cont_t)
+            cont_n = jnp.where(is_cand, n, cont_n)
+
         no_hit = nhits == 0
-        # second-nearest hit (for adjacent inference)
-        cols = jnp.arange(flat.shape[1])[None, :]
-        flat2 = jnp.where(cols == first_idx[:, None], jnp.inf, flat)
-        second_idx = jnp.argmin(flat2, axis=-1)
-        second_node = (second_idx // 4).astype(jnp.int32)
-
-        # container: unique-forward-hit node nearest the origin
-        cand = jnp.where(node_hits == 1, node_min_t, jnp.inf)
-        cbest = jnp.min(cand, axis=-1)
-        container = jnp.argmin(cand, axis=-1).astype(jnp.int32)
-        container = jnp.where(jnp.isfinite(cbest), container, hit)
-        adjacent = jnp.where(container == hit, second_node, hit)
+        hit = n1
+        t0 = t1
+        container = jnp.where(jnp.isfinite(cont_t), cont_n, hit)
+        adjacent = jnp.where(container == hit, n2, hit)
         container = jnp.where(nhits == 1, hit, container)
         adjacent = jnp.where(nhits == 1, -1, adjacent)
 
+        fates = fates.at[FATE_NO_HIT].add(
+            jnp.sum(alive & no_hit, dtype=jnp.int32)
+        )
         alive = alive & ~no_hit
 
         # --- maxsteps kill --------------------------------------------
@@ -439,137 +595,231 @@ def trace_bundle(tables, cfg: TraceConfig, positions, directions, wavelengths,
         log, nevents = _record(
             log, nevents, slot, kill_max, cfg,
             kind=EV_KILL, hit=-1, container=container, adjacent=-1,
-            component=-1, source=source, pos=pos, direction=direction,
-            normal=None, wavelength=wav, travelled=trav, duration=dur,
+            component=-1, source=source, pos3=pos3(), dir3=dir3(),
+            normal3=None, wavelength=wav, travelled=trav, duration=dur,
         )
+        fates = fates.at[EV_KILL].add(jnp.sum(kill_max, dtype=jnp.int32))
         alive = alive & ~kill_max
 
-        n_cont = tables["nidx"][container]
+        n_cont = _select(container, NIDX, jnp.full(B, 1.0, f))
 
         # --- exit through the root boundary ---------------------------
         exit_mask = alive & (hit == cfg.root_id)
 
-        # --- volume absorption ----------------------------------------
-        alpha = uniform_lookup(
-            tables["node_alpha"], container, wav, cfg.grid_x0, cfg.grid_dx
-        )
+        # --- packed spectral gather #1 --------------------------------
+        if has_spectra:
+            posf = (wav - cfg.grid_x0) / cfg.grid_dx
+            i0 = jnp.clip(posf.astype(jnp.int32), 0, L - 2)
+            frac = jnp.clip(posf - i0.astype(f), 0.0, 1.0)
+            row = jnp.clip(container, 0, N - 1) * L + i0
+            packed = spec_pack[row]  # [B, 2W] — the one wide gather
+
+            def slot_interp(w):
+                lo = packed[:, 2 * w]
+                hi = packed[:, 2 * w + 1]
+                return lo + frac * (hi - lo)
+
+            maxK = max(ns[2] for ns in node_static)
+            cums = [slot_interp(w) for w in range(maxK)]
+            alpha = _select(
+                container,
+                [
+                    cums[ns[2] - 1] if ns[2] > 0 else jnp.zeros(B, f)
+                    for ns in node_static
+                ],
+                jnp.zeros(B, f),
+            )
+        else:
+            alpha = jnp.zeros(B, f)
+
         depth = jnp.where(
-            alpha > ALPHA_ZERO, -jnp.log1p(-u[:, 0]) / jnp.maximum(alpha, 1e-30),
-            jnp.inf,
+            alpha > ALPHA_ZERO,
+            -jnp.log1p(-u[:, 0]) / jnp.maximum(alpha, 1e-30),
+            _INF,
         )
         absorbed = alive & ~exit_mask & (depth < t0)
 
         advance = jnp.where(absorbed, depth, t0)
-        moved = alive
-        pos = jnp.where(moved[:, None], pos + direction * advance[:, None], pos)
-        trav = jnp.where(moved, trav + advance, trav)
-        dur = jnp.where(moved, dur + advance * n_cont / C_CM_PER_S, dur)
+        px = jnp.where(alive, px + dxv * advance, px)
+        py = jnp.where(alive, py + dyv * advance, py)
+        pz = jnp.where(alive, pz + dzv * advance, pz)
+        trav = jnp.where(alive, trav + advance, trav)
+        dur = jnp.where(alive, dur + advance * n_cont / C_CM_PER_S, dur)
 
-        # --- record EXIT ----------------------------------------------
         log, nevents = _record(
             log, nevents, slot, exit_mask, cfg,
             kind=EV_EXIT, hit=hit, container=container, adjacent=adjacent,
-            component=-1, source=source, pos=pos, direction=direction,
-            normal=None, wavelength=wav, travelled=trav, duration=dur,
+            component=-1, source=source, pos3=pos3(), dir3=dir3(),
+            normal3=None, wavelength=wav, travelled=trav, duration=dur,
         )
+        fates = fates.at[EV_EXIT].add(jnp.sum(exit_mask, dtype=jnp.int32))
 
-        # --- component roulette ---------------------------------------
-        target = u[:, 1] * alpha
-        running = jnp.zeros(B, f32)
-        chosen_k = jnp.zeros(B, jnp.int32)
-        found = jnp.zeros(B, dtype=bool)
-        for k in range(cfg.max_components):
-            cidx = jnp.clip(tables["node_comp_idx"][container, k], 0, None)
-            valid_k = k < tables["comp_count"][container]
-            coef = uniform_lookup(
-                tables["comp_coef"], cidx, wav, cfg.grid_x0, cfg.grid_dx
+        # --- component roulette + radiative branch --------------------
+        if has_spectra:
+            target = u[:, 1] * alpha
+            comp_vals = []
+            for ns in node_static:
+                K, comp_ids = ns[2], ns[3]
+                if K == 0:
+                    comp_vals.append(jnp.full(B, -1, jnp.int32))
+                    continue
+                ordinal = jnp.zeros(B, jnp.int32)
+                for k in range(K - 1):
+                    ordinal = ordinal + (cums[k] < target).astype(jnp.int32)
+                cid = jnp.full(B, comp_ids[K - 1], jnp.int32)
+                for k in range(K - 1):
+                    cid = jnp.where(ordinal == k, comp_ids[k], cid)
+                comp_vals.append(cid)
+            comp_id = _select(container, comp_vals, jnp.full(B, -1, jnp.int32))
+
+            log, nevents = _record(
+                log, nevents, slot, absorbed, cfg,
+                kind=EV_ABSORB, hit=-1, container=container, adjacent=-1,
+                component=comp_id, source=source, pos3=pos3(), dir3=dir3(),
+                normal3=None, wavelength=wav, travelled=trav, duration=dur,
             )
-            running = running + jnp.where(valid_k, coef, 0.0)
-            take = valid_k & ~found & (target <= running)
-            chosen_k = jnp.where(take, k, chosen_k)
-            found = found | take
-        last_k = jnp.maximum(tables["comp_count"][container] - 1, 0)
-        chosen_k = jnp.where(found, chosen_k, last_k)
-        comp_id = jnp.clip(tables["node_comp_idx"][container, chosen_k], 0, None)
 
-        log, nevents = _record(
-            log, nevents, slot, absorbed, cfg,
-            kind=EV_ABSORB, hit=-1, container=container, adjacent=-1,
-            component=comp_id, source=source, pos=pos, direction=direction,
-            normal=None, wavelength=wav, travelled=trav, duration=dur,
-        )
+            # Static per-component attributes via where-chains
+            def comp_attr(values, init):
+                acc = jnp.full(B, init, f)
+                for c in range(n_comps):
+                    acc = jnp.where(comp_id == c, values[c], acc)
+                return acc
 
-        ctype = tables["comp_type"][comp_id]
-        can_radiate = (ctype == comp.COMP_SCATTERER) | (
-            ctype == comp.COMP_LUMINOPHORE
-        )
-        radiative = absorbed & can_radiate & (u[:, 2] < tables["comp_qy"][comp_id])
+            qy = comp_attr([cs[1] for cs in comp_static], 0.0)
+            radiative_comps = [
+                c for c in range(n_comps)
+                if comp_static[c][0] in (comp.COMP_SCATTERER, comp.COMP_LUMINOPHORE)
+            ]
+            can_radiate = _member(comp_id, radiative_comps)
+            radiative = absorbed & can_radiate & (u[:, 2] < qy)
 
-        # Radiative re-emission: new direction from the phase function
-        # (world frame, kernel semantics), new wavelength for luminophores.
-        new_dir = sample_phase(
-            tables["comp_phase_type"][comp_id],
-            tables["comp_phase_param"][comp_id],
-            u[:, 3],
-            u[:, 4],
-        )
-        is_lum = ctype == comp.COMP_LUMINOPHORE
-        emitting = radiative & is_lum
-        # kT / redshift truncation of the emission CDF
-        if cfg.emit_method == comp.EMIT_FULL:
-            p1 = jnp.zeros(B, f32)
+            # Phase sampling, trig-free, grouped by static phase config
+            phase_groups = {}
+            for c in radiative_comps:
+                keyg = (comp_static[c][4], comp_static[c][5])
+                phase_groups.setdefault(keyg, []).append(c)
+            ndx = jnp.zeros(B, f)
+            ndy = jnp.zeros(B, f)
+            ndz = jnp.ones(B, f)
+            phi = 2.0 * np.pi * u[:, 4]
+            cphi = jnp.cos(phi)
+            sphi = jnp.sin(phi)
+            for (ptype, pparam), members in phase_groups.items():
+                if ptype == comp.PHASE_HENYEY_GREENSTEIN and abs(pparam) >= 1e-12:
+                    g = pparam
+                    s = 2.0 * u[:, 3] - 1.0
+                    mu = (1.0 + g * g - ((1.0 - g * g) / (1.0 + g * s)) ** 2) / (
+                        2.0 * g
+                    )
+                    mu = jnp.clip(mu, -1.0, 1.0)
+                elif ptype == comp.PHASE_CONE:
+                    st = jnp.sqrt(u[:, 3]) * np.sin(pparam)
+                    mu = jnp.sqrt(jnp.clip(1.0 - st * st, 0.0, None))
+                else:
+                    mu = 2.0 * u[:, 3] - 1.0
+                st = jnp.sqrt(jnp.clip(1.0 - mu * mu, 0.0, None))
+                in_group = _member(comp_id, members)
+                ndx = jnp.where(in_group, st * cphi, ndx)
+                ndy = jnp.where(in_group, st * sphi, ndy)
+                ndz = jnp.where(in_group, mu, ndz)
+
+            lum_comps = [
+                c for c in range(n_comps)
+                if comp_static[c][0] == comp.COMP_LUMINOPHORE
+            ]
+            is_lum = _member(comp_id, lum_comps)
+            emitting = radiative & is_lum
+
+            if cfg.n_lum > 0:
+                # Emission wavelength: truncated inverse-CDF sampling.
+                # p1 columns were pre-shifted at compile time so they
+                # share the packed gather; the icdf gather runs only on
+                # steps where some photon emits.
+                if cfg.emit_method == comp.EMIT_FULL:
+                    p1 = jnp.zeros(B, f)
+                else:
+                    p1 = jnp.zeros(B, f)
+                    for c in lum_comps:
+                        K_n, j = comp_node_info[c]
+                        w = K_n + 2 * j + (
+                            0 if cfg.emit_method == comp.EMIT_KT else 1
+                        )
+                        p1 = jnp.where(comp_id == c, slot_interp(w), p1)
+                gamma = p1 + (1.0 - p1) * u[:, 5]
+                lumidx = comp_attr(
+                    [max(cs[6], 0) for cs in comp_static], 0.0
+                ).astype(jnp.int32)
+
+                def do_icdf(_):
+                    gposf = gamma * (M - 1)
+                    j0 = jnp.clip(gposf.astype(jnp.int32), 0, M - 2)
+                    gfrac = gposf - j0.astype(f)
+                    prow = icdf_pairs[lumidx * M + j0]  # [B, 2]
+                    return prow[:, 0] + gfrac * (prow[:, 1] - prow[:, 0])
+
+                new_wav = jax.lax.cond(
+                    jnp.any(emitting), do_icdf, lambda _: wav, None
+                )
+                tau_rad = comp_attr([cs[2] for cs in comp_static], 0.0)
+                rad_delay = jnp.where(
+                    tau_rad > 0.0, -jnp.log1p(-u[:, 6]) * tau_rad, 0.0
+                )
+                wav = jnp.where(emitting, new_wav, wav)
+                dur = jnp.where(emitting, dur + rad_delay, dur)
+
+            dxv = jnp.where(radiative, ndx, dxv)
+            dyv = jnp.where(radiative, ndy, dyv)
+            dzv = jnp.where(radiative, ndz, dzv)
+            source = jnp.where(radiative, comp_id, source)
+
+            log, nevents = _record(
+                log, nevents, slot, emitting, cfg,
+                kind=EV_EMIT, hit=-1, container=container, adjacent=-1,
+                component=comp_id, source=source, pos3=pos3(), dir3=dir3(),
+                normal3=None, wavelength=wav, travelled=trav, duration=dur,
+            )
+            scattering = radiative & ~is_lum
+            log, nevents = _record(
+                log, nevents, slot, scattering, cfg,
+                kind=EV_SCATTER, hit=-1, container=container, adjacent=-1,
+                component=comp_id, source=source, pos3=pos3(), dir3=dir3(),
+                normal3=None, wavelength=wav, travelled=trav, duration=dur,
+            )
+
+            nonrad = absorbed & ~radiative
+            tau_nr = comp_attr([cs[3] for cs in comp_static], 0.0)
+            nr_delay = jnp.where(
+                tau_nr > 0.0, -jnp.log1p(-u[:, 6]) * tau_nr, 0.0
+            )
+            dur = jnp.where(nonrad, dur + nr_delay, dur)
+            reactor_comps = [
+                c for c in range(n_comps)
+                if comp_static[c][0] == comp.COMP_REACTOR
+            ]
+            reacting = nonrad & _member(comp_id, reactor_comps)
+            losing = nonrad & ~reacting
+            log, nevents = _record(
+                log, nevents, slot, reacting, cfg,
+                kind=EV_REACT, hit=-1, container=container, adjacent=-1,
+                component=comp_id, source=source, pos3=pos3(), dir3=dir3(),
+                normal3=None, wavelength=wav, travelled=trav, duration=dur,
+            )
+            log, nevents = _record(
+                log, nevents, slot, losing, cfg,
+                kind=EV_NONRADIATIVE, hit=-1, container=container,
+                adjacent=-1, component=comp_id, source=source, pos3=pos3(),
+                dir3=dir3(), normal3=None, wavelength=wav, travelled=trav,
+                duration=dur,
+            )
+            fates = fates.at[EV_REACT].add(jnp.sum(reacting, dtype=jnp.int32))
+            fates = fates.at[EV_NONRADIATIVE].add(
+                jnp.sum(losing, dtype=jnp.int32)
+            )
         else:
-            e_nm = wav
-            if cfg.emit_method == comp.EMIT_KT:
-                e_ev = 1240.0 / wav + 1.5 * KB_EV * 300.0
-                e_nm = 1240.0 / e_ev
-            p1 = uniform_lookup(
-                tables["ems_cdf"], comp_id, e_nm, cfg.grid_x0, cfg.grid_dx
-            )
-        gamma = p1 + (1.0 - p1) * u[:, 5]
-        icdf_dx = 1.0 / (cfg.icdf_n - 1)
-        new_wav = uniform_lookup(tables["ems_icdf"], comp_id, gamma, 0.0, icdf_dx)
-        tau_rad = tables["comp_tau_rad"][comp_id]
-        rad_delay = jnp.where(tau_rad > 0.0, -jnp.log1p(-u[:, 6]) * tau_rad, 0.0)
-
-        wav = jnp.where(emitting, new_wav, wav)
-        dur = jnp.where(emitting, dur + rad_delay, dur)
-        direction = jnp.where(radiative[:, None], new_dir, direction)
-        source = jnp.where(radiative, comp_id, source)
-
-        log, nevents = _record(
-            log, nevents, slot, emitting, cfg,
-            kind=EV_EMIT, hit=-1, container=container, adjacent=-1,
-            component=comp_id, source=source, pos=pos, direction=direction,
-            normal=None, wavelength=wav, travelled=trav, duration=dur,
-        )
-        scattering = radiative & ~is_lum
-        log, nevents = _record(
-            log, nevents, slot, scattering, cfg,
-            kind=EV_SCATTER, hit=-1, container=container, adjacent=-1,
-            component=comp_id, source=source, pos=pos, direction=direction,
-            normal=None, wavelength=wav, travelled=trav, duration=dur,
-        )
-
-        # Non-radiative terminal events
-        nonrad = absorbed & ~radiative
-        tau_nr = tables["comp_tau_nr"][comp_id]
-        nr_delay = jnp.where(tau_nr > 0.0, -jnp.log1p(-u[:, 6]) * tau_nr, 0.0)
-        dur = jnp.where(nonrad, dur + nr_delay, dur)
-        reacting = nonrad & (ctype == comp.COMP_REACTOR)
-        losing = nonrad & ~reacting
-        log, nevents = _record(
-            log, nevents, slot, reacting, cfg,
-            kind=EV_REACT, hit=-1, container=container, adjacent=-1,
-            component=comp_id, source=source, pos=pos, direction=direction,
-            normal=None, wavelength=wav, travelled=trav, duration=dur,
-        )
-        log, nevents = _record(
-            log, nevents, slot, losing, cfg,
-            kind=EV_NONRADIATIVE, hit=-1, container=container, adjacent=-1,
-            component=comp_id, source=source, pos=pos, direction=direction,
-            normal=None, wavelength=wav, travelled=trav, duration=dur,
-        )
+            comp_id = jnp.full(B, -1, jnp.int32)
+            nonrad = jnp.zeros(B, dtype=bool)
+            reacting = losing = nonrad
 
         # --- surface interaction --------------------------------------
         surf = alive & ~exit_mask & ~absorbed
@@ -577,76 +827,153 @@ def trace_bundle(tables, cfg: TraceConfig, positions, directions, wavelengths,
         log, nevents = _record(
             log, nevents, slot, adj_bad, cfg,
             kind=EV_KILL, hit=hit, container=container, adjacent=-1,
-            component=-1, source=source, pos=pos, direction=direction,
-            normal=None, wavelength=wav, travelled=trav, duration=dur,
+            component=-1, source=source, pos3=pos3(), dir3=dir3(),
+            normal3=None, wavelength=wav, travelled=trav, duration=dur,
         )
+        fates = fates.at[EV_KILL].add(jnp.sum(adj_bad, dtype=jnp.int32))
         surf = surf & ~adj_bad
 
-        # Surface normal machinery (also used for the EXIT tally)
-        norm_mask = surf | exit_mask
-        local_p = transform_point(tables["w2l"][hit], pos)
-        nrm_local = _local_normal(tables, cfg, hit, local_p)
-        nrm = transform_vector(tables["l2w"][hit], nrm_local)
-        ddot_raw = dot3(nrm, direction)
-        flip = jnp.where(ddot_raw < 0.0, -1.0, 1.0)
-        nrm_along = nrm * flip[:, None]
-        ddot = jnp.clip(jnp.abs(ddot_raw), 0.0, 1.0)
-        angle = jnp.arccos(ddot)
-
-        # Facet overrides (mirror / ideal cell / lambertian mirror)
-        ovr_mode = jnp.full(B, comp.OVR_NONE, jnp.int32)
-        for fct in range(cfg.max_overrides):
-            mode_f = tables["ovr_mode"][hit, fct]
-            match = (mode_f >= 0) & jnp.all(
-                jnp.abs(tables["ovr_normal"][hit, fct] - nrm_local)
-                <= tables["ovr_atol"][hit, fct][:, None],
-                axis=-1,
+        # Normals (per-node static geometry, then select by hit node).
+        # Also used for the EXIT tally.
+        lnx = jnp.zeros(B, f)
+        lny = jnp.zeros(B, f)
+        lnz = jnp.ones(B, f)
+        wnx = jnp.zeros(B, f)
+        wny = jnp.zeros(B, f)
+        wnz = jnp.ones(B, f)
+        ovr_mode = None
+        for n in range(N):
+            lox, loy, loz, ldx, ldy, ldz = local_frames[n]
+            lpx = lox + t0 * ldx
+            lpy = loy + t0 * ldy
+            lpz = loz + t0 * ldz
+            nx_n, ny_n, nz_n = _local_normal_static(
+                node_static[n][0], GP[n], (lpx, lpy, lpz)
             )
-            ovr_mode = jnp.where((ovr_mode < 0) & match, mode_f, ovr_mode)
+            Rw = L2W[n]
+            wx = Rw[0, 0] * nx_n + Rw[0, 1] * ny_n + Rw[0, 2] * nz_n
+            wy = Rw[1, 0] * nx_n + Rw[1, 1] * ny_n + Rw[1, 2] * nz_n
+            wz = Rw[2, 0] * nx_n + Rw[2, 1] * ny_n + Rw[2, 2] * nz_n
+            here = hit == n
+            lnx = jnp.where(here, nx_n, lnx)
+            lny = jnp.where(here, ny_n, lny)
+            lnz = jnp.where(here, nz_n, lnz)
+            wnx = jnp.where(here, wx, wnx)
+            wny = jnp.where(here, wy, wny)
+            wnz = jnp.where(here, wz, wnz)
+            if node_static[n][5]:
+                mode_n = jnp.full(B, comp.OVR_NONE, jnp.int32)
+                for (mode, (ox0, oy0, oz0), atol) in node_static[n][5]:
+                    matchf = (
+                        (jnp.abs(nx_n - ox0) <= atol)
+                        & (jnp.abs(ny_n - oy0) <= atol)
+                        & (jnp.abs(nz_n - oz0) <= atol)
+                    )
+                    mode_n = jnp.where(
+                        (mode_n < 0) & matchf, mode, mode_n
+                    )
+                if ovr_mode is None:
+                    ovr_mode = jnp.full(B, comp.OVR_NONE, jnp.int32)
+                ovr_mode = jnp.where(here, mode_n, ovr_mode)
+        if ovr_mode is None:
+            ovr_mode = jnp.full(B, comp.OVR_NONE, jnp.int32)
 
-        n1 = tables["nidx"][container]
-        n2 = tables["nidx"][jnp.clip(adjacent, 0, None)]
-        r_fresnel = fresnel_reflectivity(angle, n1, n2)
-        r = jnp.where(
-            tables["surf_type"][hit] == comp.SURF_FRESNEL, r_fresnel, 0.0
-        )
-        r = jnp.where(
-            (ovr_mode == OVR_MIRROR) | (ovr_mode == OVR_LAMBERTIAN), 1.0, r
-        )
-        r = jnp.where(ovr_mode == OVR_ABSORB, 0.0, r)
+        ddot = wnx * dxv + wny * dyv + wnz * dzv
+        c_in = jnp.clip(jnp.abs(ddot), 0.0, 1.0)
+        flip = jnp.where(ddot < 0.0, -1.0, 1.0)
+        nax = wnx * flip
+        nay = wny * flip
+        naz = wnz * flip
+
+        n1r = n_cont
+        n2r = _select(adjacent, NIDX, jnp.full(B, 1.0, f))
+        is_fresnel = _member(hit, fresnel_nodes)
+
+        # Fresnel reflectivity from cos(theta) — no arccos needed
+        s2 = jnp.clip(1.0 - c_in * c_in, 0.0, 1.0)
+        ratio = n1r / n2r
+        tir = (n2r < n1r) & (s2 * ratio * ratio > 1.0)
+        under = jnp.clip(1.0 - ratio * ratio * s2, 0.0, None)
+        kterm = jnp.sqrt(under)
+        rs = ((n1r * c_in - n2r * kterm) / (n1r * c_in + n2r * kterm)) ** 2
+        rp = ((n1r * kterm - n2r * c_in) / (n1r * kterm + n2r * c_in)) ** 2
+        r = jnp.where(tir, 1.0, jnp.clip(0.5 * (rs + rp), 0.0, 1.0))
+        r = jnp.where(is_fresnel, r, 0.0)
+        if any_overrides:
+            r = jnp.where(
+                (ovr_mode == OVR_MIRROR) | (ovr_mode == OVR_LAMBERTIAN), 1.0, r
+            )
+            r = jnp.where(ovr_mode == OVR_ABSORB, 0.0, r)
 
         reflecting = surf & (u[:, 7] < r)
         transmitting = surf & ~reflecting
 
-        spec_dir = specular_reflect(direction, nrm)
-        lamb = sample_lambertian(u[:, 3], u[:, 4])
-        lamb_dir = rotate_from_z(lamb, -nrm_along)
-        refl_dir = jnp.where((ovr_mode == OVR_LAMBERTIAN)[:, None], lamb_dir, spec_dir)
+        # Specular reflection about the normal (flipped along the ray)
+        two_d = 2.0 * c_in  # = 2 |d . n_along|, and d . n_along >= 0
+        rfx = dxv - two_d * nax
+        rfy = dyv - two_d * nay
+        rfz = dzv - two_d * naz
+        if any_lambertian:
+            # Lambertian about the incidence-side normal (-n_along)
+            st_l = jnp.sqrt(u[:, 3])
+            ct_l = jnp.sqrt(jnp.clip(1.0 - u[:, 3], 0.0, None))
+            phi_l = 2.0 * np.pi * u[:, 4]
+            lx = st_l * jnp.cos(phi_l)
+            ly = st_l * jnp.sin(phi_l)
+            # Orthonormal basis around axis = -n_along (branch-free)
+            axx, axy, axz = -nax, -nay, -naz
+            sign = jnp.where(axz >= 0.0, 1.0, -1.0)
+            a_ = -1.0 / (sign + axz)
+            b_ = axx * axy * a_
+            t1x = 1.0 + sign * axx * axx * a_
+            t1y = sign * b_
+            t1z = -sign * axx
+            t2x = b_
+            t2y = sign + axy * axy * a_
+            t2z = -axy
+            lamx = lx * t1x + ly * t2x + ct_l * axx
+            lamy = lx * t1y + ly * t2y + ct_l * axy
+            lamz = lx * t1z + ly * t2z + ct_l * axz
+            lam_mask = ovr_mode == OVR_LAMBERTIAN
+            rfx = jnp.where(lam_mask, lamx, rfx)
+            rfy = jnp.where(lam_mask, lamy, rfy)
+            rfz = jnp.where(lam_mask, lamz, rfz)
 
-        refr_dir = fresnel_refract(direction, nrm_along, n1, n2)
-        pass_through = (tables["surf_type"][hit] == comp.SURF_NULL) | (
-            ovr_mode == OVR_ABSORB
-        )
-        trans_dir = jnp.where(pass_through[:, None], direction, refr_dir)
+        # Refraction (normal along ray; d.n_along = c_in >= 0)
+        cterm = jnp.sqrt(jnp.clip(1.0 - ratio * ratio * (1.0 - c_in * c_in), 0.0, None))
+        scale = cterm - ratio * c_in
+        txd = ratio * dxv + scale * nax
+        tyd = ratio * dyv + scale * nay
+        tzd = ratio * dzv + scale * naz
+        pass_through = ~is_fresnel
+        if any_overrides:
+            pass_through = pass_through | (ovr_mode == OVR_ABSORB)
+        txd = jnp.where(pass_through, dxv, txd)
+        tyd = jnp.where(pass_through, dyv, tyd)
+        tzd = jnp.where(pass_through, dzv, tzd)
 
-        direction = jnp.where(
-            reflecting[:, None],
-            refl_dir,
-            jnp.where(transmitting[:, None], trans_dir, direction),
-        )
+        new_dx = jnp.where(reflecting, rfx, jnp.where(transmitting, txd, dxv))
+        new_dy = jnp.where(reflecting, rfy, jnp.where(transmitting, tyd, dyv))
+        new_dz = jnp.where(reflecting, rfz, jnp.where(transmitting, tzd, dzv))
+        dxv, dyv, dzv = new_dx, new_dy, new_dz
 
-        log, nevents = _record(
-            log, nevents, slot, reflecting, cfg,
-            kind=EV_REFLECT, hit=hit, container=container, adjacent=adjacent,
-            component=-1, source=source, pos=pos, direction=direction,
-            normal=nrm, wavelength=wav, travelled=trav, duration=dur,
-        )
-        log, nevents = _record(
-            log, nevents, slot, transmitting, cfg,
-            kind=EV_TRANSMIT, hit=hit, container=container, adjacent=adjacent,
-            component=-1, source=source, pos=pos, direction=direction,
-            normal=nrm, wavelength=wav, travelled=trav, duration=dur,
-        )
+        wn3 = None
+        if cfg.n_slots > 0:
+            wn3 = jnp.stack([wnx, wny, wnz], axis=-1)
+            log, nevents = _record(
+                log, nevents, slot, reflecting, cfg,
+                kind=EV_REFLECT, hit=hit, container=container,
+                adjacent=adjacent, component=-1, source=source, pos3=pos3(),
+                dir3=dir3(), normal3=wn3, wavelength=wav, travelled=trav,
+                duration=dur,
+            )
+            log, nevents = _record(
+                log, nevents, slot, transmitting, cfg,
+                kind=EV_TRANSMIT, hit=hit, container=container,
+                adjacent=adjacent, component=-1, source=source, pos3=pos3(),
+                dir3=dir3(), normal3=wn3, wavelength=wav, travelled=trav,
+                duration=dur,
+            )
 
         # --- merged recorder tally ------------------------------------
         if cfg.n_recorders > 0:
@@ -672,19 +999,42 @@ def trace_bundle(tables, cfg: TraceConfig, positions, directions, wavelengths,
             )
             tnode = jnp.where(transmitting, hit, tnode)
             have_n = have_n | transmitting
-            t_angle = jnp.where(exit_mask | reflecting | transmitting, angle, 0.0)
-            lpos_t = transform_point(tables["w2l"][jnp.clip(tnode, 0, None)], pos)
-            tallies = _tally(
-                tallies, tables, cfg, sel, tnode, have_n, nrm, lpos_t,
-                t_angle, wav, trav, dur,
+            angle = jnp.arccos(c_in)
+            t_angle = jnp.where(
+                exit_mask | reflecting | transmitting, angle, 0.0
             )
+            # Local position in the tally node's frame (unrolled)
+            tlx = jnp.zeros(B, f)
+            tly = jnp.zeros(B, f)
+            tlz = jnp.zeros(B, f)
+            for n in range(N):
+                R = W2L[n]
+                here = tnode == n
+                tlx = jnp.where(
+                    here, R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + R[0, 3], tlx
+                )
+                tly = jnp.where(
+                    here, R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + R[1, 3], tly
+                )
+                tlz = jnp.where(
+                    here, R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + R[2, 3], tlz
+                )
+            new_tallies = _tally(
+                tallies, compiled, cfg, sel, tnode, have_n,
+                (wnx, wny, wnz), (tlx, tly, tlz), t_angle, wav, trav, dur,
+            )
+            new_tallies["fates"] = fates
+            tallies = new_tallies
+        else:
+            tallies = dict(tallies)
+            tallies["fates"] = fates
 
         # --- liveness --------------------------------------------------
         alive = alive & ~exit_mask & ~nonrad
 
         return {
-            "pos": pos,
-            "dir": direction,
+            "px": px, "py": py, "pz": pz,
+            "dx": dxv, "dy": dyv, "dz": dzv,
             "wav": wav,
             "trav": trav,
             "dur": dur,
@@ -701,8 +1051,6 @@ def trace_bundle(tables, cfg: TraceConfig, positions, directions, wavelengths,
 
     state = jax.lax.while_loop(cond, body, state)
 
-    # Per-slot event counts ([n_slots], small) — device->host transfers
-    # must stay tiny, so never return per-photon arrays.
     recorded = state["slot"] < cfg.n_slots
     counts = jnp.zeros(max(cfg.n_slots, 1), jnp.int32).at[
         jnp.where(recorded, state["slot"], 0)

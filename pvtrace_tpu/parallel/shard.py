@@ -55,7 +55,7 @@ def shard_trace(compiled, cfg, mesh, axis_name="photons"):
         local_b = pos.shape[0]
         offset = (shard * local_b).astype(jnp.uint32)
         tallies, _log, _counts, steps = tracer_module.trace_bundle(
-            tables, cfg, pos, direction, wav, base_key,
+            compiled, cfg, tables, pos, direction, wav, base_key,
             index_offset=offset,
         )
         reduced = {
@@ -63,6 +63,7 @@ def shard_trace(compiled, cfg, mesh, axis_name="photons"):
             "cross": jax.lax.psum(tallies["cross"], axis_name),
             "sums": jax.lax.psum(tallies["sums"], axis_name),
             "bins": jax.lax.psum(tallies["bins"], axis_name),
+            "fates": jax.lax.psum(tallies["fates"], axis_name),
         }
         return reduced, jax.lax.pmax(steps, axis_name)
 
@@ -72,6 +73,9 @@ def shard_trace(compiled, cfg, mesh, axis_name="photons"):
             mesh=mesh,
             in_specs=(P(), P(axis_name), P(axis_name), P(axis_name), P()),
             out_specs=(P(), P()),
+            # The tracer builds fresh (unvarying) carries inside the
+            # shard; skip the varying-manual-axes analysis.
+            check_vma=False,
         )
     )
 
