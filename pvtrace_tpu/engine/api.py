@@ -204,6 +204,39 @@ class EngineResult:
 
 # Cache of jitted tracers keyed by (id(compiled), static config)
 _TRACER_CACHE = {}
+# Cache of device tables keyed by (id(compiled), dtype)
+_TABLE_CACHE = {}
+
+
+def _get_tables(compiled, dtype):
+    key = (compiled.content_digest, np.dtype(dtype).str)
+    tables = _TABLE_CACHE.get(key)
+    if tables is None:
+        tables = compiled.device_tables(dtype=dtype)
+        _TABLE_CACHE[key] = tables
+    return tables
+
+
+class _RoundRobinSources:
+    """Lazy `sources` sequence: light names cycled over the bundle
+    (building a python list of 10^6+ strings is host-time we don't
+    spend)."""
+
+    def __init__(self, names, n):
+        self._names = list(names)
+        self._n = n
+
+    def __len__(self):
+        return self._n
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(self._n))]
+        if i < 0:
+            i += self._n
+        if not 0 <= i < self._n:
+            raise IndexError(i)
+        return self._names[i % len(self._names)]
 
 
 def _get_tracer(compiled, cfg):
@@ -211,15 +244,12 @@ def _get_tracer(compiled, cfg):
 
     from pvtrace_tpu.engine import tracer as tracer_module
 
-    key = (id(compiled), cfg)
+    key = (compiled.content_digest, cfg, bool(compiled.lights_supported))
     fn = _TRACER_CACHE.get(key)
     if fn is None:
         import jax.numpy as jnp
 
-        def traced(tables, p, d, w, k):
-            tallies, log, counts, steps = tracer_module.trace_bundle(
-                compiled, cfg, tables, p, d, w, k
-            )
+        def pack(tallies, log, counts, steps):
             # Device->host transfers have high fixed latency on remote
             # TPU links: pack every small output into two flat arrays so
             # the host does exactly two fetches (plus the event log in
@@ -237,7 +267,28 @@ def _get_tracer(compiled, cfg):
             floats = jnp.ravel(tallies["sums"])
             return ints, floats, log
 
-        fn = jax.jit(traced)
+        if compiled.lights_supported:
+
+            def traced(tables, n_rays, seed):
+                k = jax.random.PRNGKey(seed[0])
+                return pack(
+                    *tracer_module.trace_bundle_device_emit(
+                        compiled, cfg, tables, k, n_rays
+                    )
+                )
+
+            fn = jax.jit(traced, static_argnums=(1,))
+        else:
+
+            def traced(tables, p, d, w, seed):
+                k = jax.random.PRNGKey(seed[0])
+                return pack(
+                    *tracer_module.trace_bundle(
+                        compiled, cfg, tables, p, d, w, k
+                    )
+                )
+
+            fn = jax.jit(traced)
         _TRACER_CACHE[key] = fn
     return fn
 
@@ -282,8 +333,6 @@ def simulate(
             else np.float32
         )
 
-    positions, directions, wavelengths, sources = emit_bundle(scene, num_rays)
-
     cfg = tracer_module.make_config(
         compiled,
         n_rays=num_rays,
@@ -293,20 +342,31 @@ def simulate(
         record_every=record_every,
         emit_method=emit_method,
     )
-    tables = compiled.device_tables(dtype=dtype)
+    tables = _get_tables(compiled, dtype)
     fn = _get_tracer(compiled, cfg)
+    seed_arr = np.asarray([seed], dtype=np.uint32)
 
-    key = jax.random.PRNGKey(int(seed))
-    tic = time.perf_counter()
-    ints_dev, floats_dev, log = fn(
-        tables,
-        jnp.asarray(positions.astype(dtype)),
-        jnp.asarray(directions.astype(dtype)),
-        jnp.asarray(wavelengths.astype(dtype)),
-        key,
-    )
-    jax.block_until_ready(ints_dev)
-    elapsed = time.perf_counter() - tic
+    if compiled.lights_supported:
+        # Device-side emission: no host sampling, no bundle transfer.
+        sources = _RoundRobinSources(compiled.light_names, num_rays)
+        tic = time.perf_counter()
+        ints_dev, floats_dev, log = fn(tables, num_rays, seed_arr)
+        jax.block_until_ready(ints_dev)
+        elapsed = time.perf_counter() - tic
+    else:
+        positions, directions, wavelengths, sources = emit_bundle(
+            scene, num_rays
+        )
+        tic = time.perf_counter()
+        ints_dev, floats_dev, log = fn(
+            tables,
+            jnp.asarray(positions.astype(dtype)),
+            jnp.asarray(directions.astype(dtype)),
+            jnp.asarray(wavelengths.astype(dtype)),
+            seed_arr,
+        )
+        jax.block_until_ready(ints_dev)
+        elapsed = time.perf_counter() - tic
 
     ints = np.asarray(ints_dev)
     floats = np.asarray(floats_dev)

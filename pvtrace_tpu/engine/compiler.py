@@ -273,6 +273,13 @@ class CompiledScene:
         else:
             self.ems_icdf_pairs = np.zeros((1, 2), dtype=np.float64)
 
+        # -- device emission tables ------------------------------------
+        # Built-in light delegates compile to static samplers so whole
+        # bundles are emitted on device (no host numpy, no H2D bundle
+        # transfer). Unsupported (custom) delegates fall back to host
+        # emission (engine/emit.py).
+        self._compile_lights(scene)
+
         # Static structural metadata consumed by the tracer's unrolled
         # code generation (hashable nested tuples).
         self.node_static = tuple(
@@ -326,6 +333,146 @@ class CompiledScene:
         self.eps = eps  # resolved per-dtype in device_tables
 
         self._compile_recorders(nodes)
+        self._compute_digest()
+
+    def _compute_digest(self):
+        """Content digest so identical scenes share jit/table caches
+        across repeated compile_scene calls."""
+        import hashlib
+
+        h = hashlib.sha1()
+        for arr in (
+            self.geom_type, self.geom_params, self.local_to_world,
+            self.world_to_local, self.refractive_index, self.surface_type,
+            self.ovr_mode, self.ovr_normal, self.ovr_atol,
+            self.node_comp_idx, self.comp_count, self.comp_type,
+            self.comp_qy, self.comp_tau_rad, self.comp_tau_nr,
+            self.comp_phase_type, self.comp_phase_param, self.spec_pack,
+            self.ems_icdf_pairs, self.light_icdf_pairs, self.rec_node,
+            self.rec_event, self.rec_has_facet, self.rec_facet,
+            self.rec_atol,
+        ):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        h.update(
+            repr(
+                (
+                    self.node_static, self.comp_static, self.light_static,
+                    self.root_id, self.grid_x0, self.grid_dx, self.grid_n,
+                    self.icdf_n, self.hist_specs, self.lights_supported,
+                    self.scene_extent, self.eps,
+                )
+            ).encode()
+        )
+        self.content_digest = h.hexdigest()
+
+    # Light sampler tags
+    WAV_CONST = 0
+    WAV_SPECTRUM = 1
+    POS_DEFAULT = 0
+    POS_RECT = 1
+    POS_CIRCLE = 2
+    POS_CUBE = 3
+    DIR_DEFAULT = 0
+    DIR_CONE = 1
+    DIR_ISOTROPIC = 2
+    DIR_LAMBERTIAN = 3
+    DIR_HG = 4
+
+    def _compile_lights(self, scene):
+        import functools
+
+        from pvtrace_tpu.light import light as light_module
+        from pvtrace_tpu.material.utils import (
+            Cone as _Cone,
+            HenyeyGreenstein as _HG,
+            cone as _cone_fn,
+            isotropic as _iso_fn,
+            lambertian as _lam_fn,
+        )
+
+        lights = scene.light_nodes
+        static = []
+        icdf_rows = []
+        M = self.icdf_n
+        pgrid = np.linspace(0.0, 1.0, M)
+        supported = len(lights) > 0
+        self.light_names = [node.light.name for node in lights]
+        for node in lights:
+            light = node.light
+            w, p, d = light.wavelength, light.position, light.direction
+            # wavelength
+            if w is light_module.default_wavelength or isinstance(
+                w, light_module.DefaultWavelength
+            ):
+                wav = (self.WAV_CONST, 555.0)
+            elif isinstance(w, light_module.ConstantWavelengthMask):
+                wav = (self.WAV_CONST, float(w.nanometers))
+            elif isinstance(w, light_module.SpectrumWavelengthMask) and not getattr(
+                w.distribution, "hist", False
+            ):
+                dist = w.distribution
+                icdf_rows.append(np.interp(pgrid, dist._cdf, dist._x))
+                wav = (self.WAV_SPECTRUM, float(len(icdf_rows) - 1))
+            else:
+                supported = False
+                break
+            # position
+            if p is light_module.default_position or isinstance(
+                p, light_module.DefaultPosition
+            ):
+                pos = (self.POS_DEFAULT, 0.0, 0.0, 0.0)
+            elif isinstance(p, light_module.RectangularMask):
+                pos = (self.POS_RECT, float(p.x), float(p.y), 0.0)
+            elif isinstance(p, light_module.CircularMask):
+                pos = (self.POS_CIRCLE, float(p.radius), 0.0, 0.0)
+            elif isinstance(p, light_module.CubeMask):
+                pos = (self.POS_CUBE, float(p.x), float(p.y), float(p.z))
+            else:
+                supported = False
+                break
+            # direction
+            theta = None
+            if d is light_module.default_direction or isinstance(
+                d, light_module.DefaultDirection
+            ):
+                direction = (self.DIR_DEFAULT, 0.0)
+            elif isinstance(d, _Cone):
+                direction = (self.DIR_CONE, float(d.theta_max))
+            elif isinstance(d, functools.partial) and d.func is _cone_fn:
+                theta = (
+                    float(d.args[0]) if d.args
+                    else float(d.keywords.get("theta_max"))
+                )
+                direction = (self.DIR_CONE, theta)
+            elif d is _iso_fn:
+                direction = (self.DIR_ISOTROPIC, 0.0)
+            elif d is _lam_fn:
+                direction = (self.DIR_LAMBERTIAN, 0.0)
+            elif isinstance(d, _HG):
+                direction = (self.DIR_HG, float(d.g))
+            else:
+                supported = False
+                break
+            matrix = np.asarray(node.transformation_to(scene.root))
+            static.append(
+                (
+                    wav,
+                    pos,
+                    direction,
+                    tuple(tuple(float(v) for v in row) for row in matrix),
+                )
+            )
+        self.lights_supported = supported and len(static) == len(lights)
+        self.light_static = tuple(static) if self.lights_supported else ()
+        if icdf_rows and self.lights_supported:
+            icdf = np.stack(icdf_rows)
+            pairs = np.stack(
+                [icdf, np.concatenate([icdf[:, 1:], icdf[:, -1:]], axis=1)],
+                axis=-1,
+            )
+            self.light_icdf_pairs = pairs.reshape(-1, 2)
+        else:
+            self.light_icdf_pairs = np.zeros((1, 2), dtype=np.float64)
 
     # -- pieces --------------------------------------------------------
 
@@ -505,6 +652,7 @@ class CompiledScene:
             "ems_icdf": f(self.ems_icdf),
             "spec_pack": f(self.spec_pack),
             "ems_icdf_pairs": f(self.ems_icdf_pairs),
+            "light_icdf_pairs": f(self.light_icdf_pairs),
             "rec_node": i(self.rec_node),
             "rec_event": i(self.rec_event),
             "rec_has_facet": i(self.rec_has_facet),

@@ -403,15 +403,154 @@ def _tally(tallies, compiled, cfg, sel, tnode, have_normal, wnormal3, lpos3,
 # The trace loop
 
 
+def _photon_keys(base_key, B, index_offset):
+    photon_ids = jnp.asarray(index_offset, jnp.uint32) + jnp.arange(
+        B, dtype=jnp.uint32
+    )
+    keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(photon_ids)
+    return photon_ids, keys
+
+
+def _device_emit(compiled, cfg, tables, keys, photon_ids):
+    """Sample the initial bundle on device from the compiled light
+    sources (static samplers; step-0 key stream). Counterpart of the
+    host bundle emission (engine/emit.py) with zero host work."""
+    f = cfg.dtype
+    B = photon_ids.shape[0]
+    M = cfg.icdf_n
+    u = jax.vmap(
+        lambda k: jax.random.uniform(jax.random.fold_in(k, 0), (6,), dtype=f)
+    )(keys)
+    lights = compiled.light_static
+    n_lights = len(lights)
+    light_id = (photon_ids % n_lights).astype(jnp.int32)
+
+    px = jnp.zeros(B, f)
+    py = jnp.zeros(B, f)
+    pz = jnp.zeros(B, f)
+    dxv = jnp.zeros(B, f)
+    dyv = jnp.zeros(B, f)
+    dzv = jnp.ones(B, f)
+    wav = jnp.full(B, 555.0, f)
+    C = comp.CompiledScene
+
+    for li, (wspec, pspec, dspec, matrix) in enumerate(lights):
+        here = light_id == li if n_lights > 1 else jnp.ones(B, bool)
+        # wavelength
+        if wspec[0] == C.WAV_CONST:
+            w_l = jnp.full(B, wspec[1], f)
+        else:
+            row = int(wspec[1])
+            gpos = u[:, 0] * (M - 1)
+            j0 = jnp.clip(gpos.astype(jnp.int32), 0, M - 2)
+            gfrac = gpos - j0.astype(f)
+            pair = tables["light_icdf_pairs"][row * M + j0]
+            w_l = pair[:, 0] + gfrac * (pair[:, 1] - pair[:, 0])
+        # position (local frame)
+        kind = pspec[0]
+        if kind == C.POS_DEFAULT:
+            lx = jnp.zeros(B, f)
+            ly = jnp.zeros(B, f)
+            lz = jnp.zeros(B, f)
+        elif kind == C.POS_RECT:
+            lx = (2.0 * u[:, 1] - 1.0) * pspec[1]
+            ly = (2.0 * u[:, 2] - 1.0) * pspec[2]
+            lz = jnp.zeros(B, f)
+        elif kind == C.POS_CIRCLE:
+            r = jnp.sqrt(u[:, 1]) * pspec[1]
+            ang = 2.0 * np.pi * u[:, 2]
+            lx = r * jnp.cos(ang)
+            ly = r * jnp.sin(ang)
+            lz = jnp.zeros(B, f)
+        else:  # POS_CUBE
+            lx = (2.0 * u[:, 1] - 1.0) * pspec[1]
+            ly = (2.0 * u[:, 2] - 1.0) * pspec[2]
+            lz = (2.0 * u[:, 3] - 1.0) * pspec[3]
+        # direction (local frame), trig-minimal
+        dkind, dparam = dspec
+        phi = 2.0 * np.pi * u[:, 5]
+        cphi = jnp.cos(phi)
+        sphi = jnp.sin(phi)
+        if dkind == C.DIR_DEFAULT:
+            ldx = jnp.zeros(B, f)
+            ldy = jnp.zeros(B, f)
+            ldz = jnp.ones(B, f)
+        else:
+            if dkind == C.DIR_CONE:
+                st = jnp.sqrt(u[:, 4]) * np.sin(dparam)
+                mu = jnp.sqrt(jnp.clip(1.0 - st * st, 0.0, None))
+            elif dkind == C.DIR_ISOTROPIC:
+                mu = 2.0 * u[:, 4] - 1.0
+                st = jnp.sqrt(jnp.clip(1.0 - mu * mu, 0.0, None))
+            elif dkind == C.DIR_LAMBERTIAN:
+                st = jnp.sqrt(u[:, 4])
+                mu = jnp.sqrt(jnp.clip(1.0 - u[:, 4], 0.0, None))
+            else:  # DIR_HG
+                g = dparam
+                if abs(g) < 1e-12:
+                    mu = 2.0 * u[:, 4] - 1.0
+                else:
+                    s = 2.0 * u[:, 4] - 1.0
+                    mu = (
+                        1.0 + g * g - ((1.0 - g * g) / (1.0 + g * s)) ** 2
+                    ) / (2.0 * g)
+                    mu = jnp.clip(mu, -1.0, 1.0)
+                st = jnp.sqrt(jnp.clip(1.0 - mu * mu, 0.0, None))
+            ldx = st * cphi
+            ldy = st * sphi
+            ldz = mu
+        # to world frame
+        m = matrix
+        wxp = m[0][0] * lx + m[0][1] * ly + m[0][2] * lz + m[0][3]
+        wyp = m[1][0] * lx + m[1][1] * ly + m[1][2] * lz + m[1][3]
+        wzp = m[2][0] * lx + m[2][1] * ly + m[2][2] * lz + m[2][3]
+        wxd = m[0][0] * ldx + m[0][1] * ldy + m[0][2] * ldz
+        wyd = m[1][0] * ldx + m[1][1] * ldy + m[1][2] * ldz
+        wzd = m[2][0] * ldx + m[2][1] * ldy + m[2][2] * ldz
+        if n_lights == 1:
+            px, py, pz = wxp, wyp, wzp
+            dxv, dyv, dzv = wxd, wyd, wzd
+            wav = w_l
+        else:
+            px = jnp.where(here, wxp, px)
+            py = jnp.where(here, wyp, py)
+            pz = jnp.where(here, wzp, pz)
+            dxv = jnp.where(here, wxd, dxv)
+            dyv = jnp.where(here, wyd, dyv)
+            dzv = jnp.where(here, wzd, dzv)
+            wav = jnp.where(here, w_l, wav)
+    pos3 = jnp.stack([px, py, pz], axis=-1)
+    dir3 = jnp.stack([dxv, dyv, dzv], axis=-1)
+    return pos3, dir3, wav
+
+
+def trace_bundle_device_emit(compiled, cfg: TraceConfig, tables, base_key,
+                             n_rays, index_offset=0):
+    """Emit on device then trace — zero host work per bundle."""
+    photon_ids, keys = _photon_keys(base_key, n_rays, index_offset)
+    pos3, dir3, wav = _device_emit(compiled, cfg, tables, keys, photon_ids)
+    return _run(compiled, cfg, tables, photon_ids, keys, pos3, dir3, wav)
+
+
 def trace_bundle(compiled, cfg: TraceConfig, tables, positions, directions,
                  wavelengths, base_key, index_offset=0):
-    """Trace a photon bundle to completion.
+    """Trace a host-emitted photon bundle to completion.
 
     `compiled` supplies static structure + host constants (baked into
-    the program); `tables` supplies the two packed spectral arrays;
-    `cfg` is the static config. Returns (tallies, event_log, counts,
-    steps).
+    the program); `tables` supplies the packed spectral arrays; `cfg` is
+    the static config. Returns (tallies, event_log, counts, steps).
     """
+    B = positions.shape[0]
+    photon_ids, keys = _photon_keys(base_key, B, index_offset)
+    return _run(
+        compiled, cfg, tables, photon_ids, keys,
+        positions.astype(cfg.dtype), directions.astype(cfg.dtype),
+        wavelengths.astype(cfg.dtype),
+    )
+
+
+def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
+         directions, wavelengths):
     N = cfg.n_nodes
     f = cfg.dtype
     B = positions.shape[0]
@@ -447,11 +586,6 @@ def trace_bundle(compiled, cfg: TraceConfig, tables, positions, directions,
     px, py, pz = pos0[:, 0], pos0[:, 1], pos0[:, 2]
     dx_, dy_, dz_ = dir0[:, 0], dir0[:, 1], dir0[:, 2]
     wav0 = wavelengths.astype(f)
-
-    photon_ids = jnp.asarray(index_offset, jnp.uint32) + jnp.arange(
-        B, dtype=jnp.uint32
-    )
-    keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(photon_ids)
 
     if cfg.record_every > 0:
         slot = jnp.where(
