@@ -83,6 +83,16 @@ class Mesh(Geometry):
         mags = np.linalg.norm(n, axis=1)
         mags[mags == 0.0] = 1.0
         self._face_normals = n / mags[:, None]
+        # Native C++ kernel (pvtrace_tpu/native) when buildable; numpy
+        # Moller-Trumbore otherwise.
+        self._kernel = None
+        try:
+            from pvtrace_tpu.native import MeshKernel, is_available
+
+            if is_available():
+                self._kernel = MeshKernel(self.vertices, self.faces)
+        except Exception:
+            self._kernel = None
 
     @property
     def material(self):
@@ -95,7 +105,12 @@ class Mesh(Geometry):
     # -- ray casting ---------------------------------------------------
 
     def _ray_hits(self, origin, direction):
-        """All (t, face) intersections with t > -inf via Möller–Trumbore."""
+        """All (t, face) intersections via Möller–Trumbore."""
+        if self._kernel is not None:
+            return self._kernel.ray_hits(
+                np.asarray(origin, float), np.asarray(direction, float),
+                t_min=-np.inf,
+            )
         o = np.asarray(origin, dtype=float)
         d = np.asarray(direction, dtype=float)
         pvec = np.cross(d, self._e2)
@@ -123,6 +138,8 @@ class Mesh(Geometry):
         return tuple(tuple((o + t * d).tolist()) for t in keep)
 
     def contains(self, point):
+        if self._kernel is not None:
+            return self._kernel.contains(np.asarray(point, float), eps=EPS_ZERO)
         direction = np.array([0.577350269189626, 0.577350269189626, 0.577350269189626])
         ts, _ = self._ray_hits(point, direction)
         forward = ts[ts > EPS_ZERO]
@@ -141,6 +158,8 @@ class Mesh(Geometry):
 
     def _nearest_face(self, point):
         """(face index, distance) of the closest triangle to `point`."""
+        if self._kernel is not None:
+            return self._kernel.nearest_face(np.asarray(point, float))
         p = np.asarray(point, dtype=float)
         # Project p onto each triangle plane then clamp barycentrics
         w = p - self._v0
