@@ -142,6 +142,18 @@ def cmd_show(args):
     return 0
 
 
+def cmd_studio(args):
+    from pvtrace_tpu.studio import main as studio_main
+
+    studio_main(
+        document_path=args.scene,
+        host=args.host,
+        port=args.port,
+        open_browser=not args.no_browser,
+    )
+    return 0
+
+
 _EVENT_CHOICES = (
     "entering", "escaping", "reflected", "nonradiative", "reacted", "killed"
 )
@@ -254,6 +266,13 @@ def build_parser():
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--open-browser", action="store_true")
     p.set_defaults(func=cmd_show)
+
+    p = sub.add_parser("studio", help="browser-based scene editor + live runs")
+    p.add_argument("scene", nargs="?", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8567)
+    p.add_argument("--no-browser", action="store_true")
+    p.set_defaults(func=cmd_studio)
 
     p = sub.add_parser("count", help="count distinct rays for an interaction")
     _add_query_args(p)
