@@ -16,6 +16,10 @@ from pvtrace_tpu.engine.api import (
     simulate,
     simulate_stream,
 )
+from pvtrace_tpu.engine.checkpoint import (
+    AccumulatedResult,
+    simulate_checkpointed,
+)
 from pvtrace_tpu.engine.compiler import (
     CompiledScene,
     UnsupportedSceneError,
@@ -30,6 +34,8 @@ __all__ = [
     "is_available",
     "simulate",
     "simulate_stream",
+    "AccumulatedResult",
+    "simulate_checkpointed",
     "CompiledScene",
     "UnsupportedSceneError",
     "compile_scene",

@@ -239,12 +239,12 @@ class _RoundRobinSources:
         return self._names[i % len(self._names)]
 
 
-def _get_tracer(compiled, cfg):
+def _get_tracer(compiled, cfg, lanes=None):
     import jax
 
     from pvtrace_tpu.engine import tracer as tracer_module
 
-    key = (compiled.content_digest, cfg, bool(compiled.lights_supported))
+    key = (compiled.content_digest, cfg, bool(compiled.lights_supported), lanes)
     fn = _TRACER_CACHE.get(key)
     if fn is None:
         import jax.numpy as jnp
@@ -273,7 +273,7 @@ def _get_tracer(compiled, cfg):
                 k = jax.random.PRNGKey(seed[0])
                 return pack(
                     *tracer_module.trace_bundle_device_emit(
-                        compiled, cfg, tables, k, n_rays
+                        compiled, cfg, tables, k, n_rays, lanes=lanes
                     )
                 )
 
@@ -304,6 +304,7 @@ def simulate(
     record_every=1,
     dtype=None,
     compiled=None,
+    lanes="auto",
 ):
     """Trace `num_rays` through `scene` with the device engine.
 
@@ -314,6 +315,12 @@ def simulate(
 
     `workers` is accepted for API compatibility and ignored: parallelism
     comes from the device batch (and the mesh when sharded).
+
+    `lanes` sets the wavefront width for device-emitted bundles. When
+    smaller than `num_rays`, dead lanes are refilled with new photons
+    (regeneration) so the loop cost follows the mean photon lifetime,
+    not the max. "auto" picks `min(num_rays, 2**20)`; None disables
+    regeneration.
     """
     import jax
     import jax.numpy as jnp
@@ -342,8 +349,14 @@ def simulate(
         record_every=record_every,
         emit_method=emit_method,
     )
+    if lanes == "auto":
+        lanes = min(num_rays, 1 << 20)
+    if lanes is not None and lanes >= num_rays:
+        lanes = None
     tables = _get_tables(compiled, dtype)
-    fn = _get_tracer(compiled, cfg)
+    fn = _get_tracer(
+        compiled, cfg, lanes=lanes if compiled.lights_supported else None
+    )
     seed_arr = np.asarray([seed], dtype=np.uint32)
 
     if compiled.lights_supported:

@@ -1,0 +1,216 @@
+"""Checkpointed mega-runs: exact resume by construction.
+
+The reference has no formal checkpointing; its resumability comes from
+``simulate_stream`` bundles with consecutive per-ray seed offsets
+(reference ``engine/api.py:249-264``) and from the CLI appending events
+to SQLite as they happen (``cli/main.py:154-158``). This module makes
+that design explicit: a run is a sequence of idempotent bundles, and the
+checkpoint is (accumulated tallies, seed, bundle cursor). Because
+bundle ``k`` is fully determined by ``seed + k*bundle``, resuming from a
+checkpoint reproduces bit-for-bit the same results as an uninterrupted
+run — there is nothing else to save.
+
+Checkpoints are written atomically (tmp file + rename) after every
+bundle, so a crash at any point loses at most one bundle of work.
+"""
+import collections
+import os
+import tempfile
+
+import numpy as np
+
+from pvtrace_tpu.engine.api import (
+    RecorderResult,
+    simulate,
+)
+from pvtrace_tpu.engine.compiler import compile_scene
+from pvtrace_tpu.light.event import Event
+
+CHECKPOINT_VERSION = 1
+
+
+class AccumulatedResult:
+    """Tallies accumulated over many bundles.
+
+    Offers the recorder/fate interface of ``EngineResult`` (histories
+    are per-bundle and are not accumulated — recorders are the
+    O(bins)-memory way to observe a mega-run).
+    """
+
+    def __init__(self, compiled, distinct, crossings, sums, bins, fates,
+                 traced, num_rays, seed, bundle, elapsed=0.0):
+        self.compiled = compiled
+        self._distinct = np.asarray(distinct, dtype=np.int64)
+        self._crossings = np.asarray(crossings, dtype=np.int64)
+        self._sums = np.asarray(sums, dtype=np.float64)
+        self._bins = np.asarray(bins, dtype=np.int64)
+        self._fates = np.asarray(fates, dtype=np.int64)
+        self.traced = int(traced)
+        self.num_rays = int(num_rays)
+        self.seed = int(seed)
+        self.bundle = int(bundle)
+        self.elapsed = float(elapsed)
+
+    @property
+    def complete(self):
+        return self.traced >= self.num_rays
+
+    @property
+    def recorders(self):
+        compiled = self.compiled
+        results = {}
+        for r, spec in enumerate(compiled.recorder_specs):
+            bins = []
+            start = compiled.rec_hist_start[r]
+            for h in range(len(spec.histograms)):
+                row = compiled.hist_specs[start + h]
+                na, nb, offset = row[3], row[4], row[9]
+                bins.append(self._bins[offset:offset + na * nb])
+            results[spec.name] = RecorderResult(
+                spec,
+                self._distinct[r],
+                self._crossings[r],
+                self._sums[r].reshape(4, 2),
+                bins,
+            )
+        return results
+
+    def fate_counts(self):
+        out = collections.Counter()
+        for value in (Event.EXIT, Event.NONRADIATIVE, Event.REACT, Event.KILL):
+            if self._fates[value.value]:
+                out[value] = int(self._fates[value.value])
+        if self._fates[10]:
+            out["NO_HIT"] = int(self._fates[10])
+        return out
+
+    # -- persistence ----------------------------------------------------
+
+    def save(self, path):
+        """Atomically write the checkpoint to `path` (npz)."""
+        directory = os.path.dirname(os.path.abspath(path)) or "."
+        fd, tmp = tempfile.mkstemp(suffix=".npz.tmp", dir=directory)
+        try:
+            with os.fdopen(fd, "wb") as fp:
+                np.savez(
+                    fp,
+                    version=CHECKPOINT_VERSION,
+                    digest=self.compiled.content_digest,
+                    distinct=self._distinct,
+                    crossings=self._crossings,
+                    sums=self._sums,
+                    bins=self._bins,
+                    fates=self._fates,
+                    traced=self.traced,
+                    num_rays=self.num_rays,
+                    seed=self.seed,
+                    bundle=self.bundle,
+                    elapsed=self.elapsed,
+                )
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    @classmethod
+    def load(cls, path, compiled):
+        with np.load(path, allow_pickle=False) as data:
+            if int(data["version"]) != CHECKPOINT_VERSION:
+                raise ValueError(
+                    f"Unsupported checkpoint version {int(data['version'])}"
+                )
+            digest = str(data["digest"])
+            if digest != compiled.content_digest:
+                raise ValueError(
+                    "Checkpoint was written for a different scene "
+                    f"(digest {digest[:12]}… != {compiled.content_digest[:12]}…)."
+                )
+            return cls(
+                compiled,
+                data["distinct"], data["crossings"], data["sums"],
+                data["bins"], data["fates"],
+                int(data["traced"]), int(data["num_rays"]),
+                int(data["seed"]), int(data["bundle"]),
+                float(data["elapsed"]),
+            )
+
+
+def simulate_checkpointed(
+    scene,
+    num_rays,
+    checkpoint,
+    bundle=1_000_000,
+    seed=None,
+    resume=True,
+    stop_after_bundles=None,
+    **kwargs,
+):
+    """Trace `num_rays` in bundles, checkpointing after each bundle.
+
+    If `checkpoint` exists and `resume` is true, the run continues from
+    the saved cursor; the union of the two partial runs is identical to
+    an uninterrupted run with the same seed (bundle k is seeded
+    ``seed + k*bundle`` exactly as ``simulate_stream`` does).
+
+    `stop_after_bundles` bounds how many bundles this call traces
+    (for staged runs and tests); the checkpoint stays resumable.
+
+    Returns an `AccumulatedResult`.
+    """
+    compiled = kwargs.pop("compiled", None)
+    if compiled is None:
+        compiled = compile_scene(scene)
+
+    state = None
+    if resume and checkpoint and os.path.exists(checkpoint):
+        state = AccumulatedResult.load(checkpoint, compiled)
+        if state.num_rays != num_rays or state.bundle != bundle:
+            raise ValueError(
+                "Checkpoint run shape mismatch: saved "
+                f"(num_rays={state.num_rays}, bundle={state.bundle}), "
+                f"requested (num_rays={num_rays}, bundle={bundle})."
+            )
+        if seed is not None and state.seed != seed:
+            raise ValueError(
+                f"Checkpoint seed {state.seed} != requested seed {seed}."
+            )
+    if state is None:
+        if seed is None:
+            seed = int(np.random.randint(0, 2 ** 31 - 1))
+        n_rec = max(compiled.n_recorders, 1)
+        state = AccumulatedResult(
+            compiled,
+            np.zeros(n_rec, dtype=np.int64),
+            np.zeros(n_rec, dtype=np.int64),
+            np.zeros((n_rec, 4, 2), dtype=np.float64),
+            np.zeros(int(compiled.total_bins), dtype=np.int64),
+            np.zeros(11, dtype=np.int64),
+            traced=0,
+            num_rays=num_rays,
+            seed=seed,
+            bundle=bundle,
+        )
+
+    bundles_done = 0
+    while state.traced < num_rays:
+        if stop_after_bundles is not None and bundles_done >= stop_after_bundles:
+            break
+        n = min(bundle, num_rays - state.traced)
+        result = simulate(
+            scene, n, seed=state.seed + state.traced,
+            compiled=compiled, **kwargs,
+        )
+        n_rec = max(compiled.n_recorders, 1)
+        state._distinct += result.data["rec_distinct"]
+        state._crossings += result.data["rec_crossings"]
+        state._sums += result.data["rec_sums"].reshape(n_rec, 4, 2)
+        state._bins += result.data["rec_bins"]
+        state._fates += result.data["fates"]
+        state.traced += n
+        state.elapsed += result.elapsed
+        bundles_done += 1
+        if checkpoint:
+            state.save(checkpoint)
+
+    return state

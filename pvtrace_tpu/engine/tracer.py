@@ -525,11 +525,30 @@ def _device_emit(compiled, cfg, tables, keys, photon_ids):
 
 
 def trace_bundle_device_emit(compiled, cfg: TraceConfig, tables, base_key,
-                             n_rays, index_offset=0):
-    """Emit on device then trace — zero host work per bundle."""
-    photon_ids, keys = _photon_keys(base_key, n_rays, index_offset)
+                             n_rays, index_offset=0, lanes=None):
+    """Emit on device then trace — zero host work per bundle.
+
+    With ``lanes < n_rays`` the tracer runs in **regeneration** mode:
+    the wavefront is `lanes` wide and every lane that dies is refilled
+    with a freshly emitted photon until the `n_rays` budget is spent.
+    Without regeneration a bundle costs (longest-lived photon) steps at
+    full width while the mean lifetime is ~4x shorter — regeneration
+    keeps the lanes ~100% alive, so throughput follows the *mean*
+    lifetime instead of the max (the wavefront-compaction idea from GPU
+    path tracing, done budget-side instead of sort-side). Each photon's
+    entire stream is a pure function of ``fold_in(base_key, pid)``, so
+    tallies are independent of lane scheduling.
+    """
+    if lanes is None or lanes >= n_rays:
+        photon_ids, keys = _photon_keys(base_key, n_rays, index_offset)
+        pos3, dir3, wav = _device_emit(compiled, cfg, tables, keys, photon_ids)
+        return _run(compiled, cfg, tables, photon_ids, keys, pos3, dir3, wav)
+    photon_ids, keys = _photon_keys(base_key, lanes, index_offset)
     pos3, dir3, wav = _device_emit(compiled, cfg, tables, keys, photon_ids)
-    return _run(compiled, cfg, tables, photon_ids, keys, pos3, dir3, wav)
+    return _run(
+        compiled, cfg, tables, photon_ids, keys, pos3, dir3, wav,
+        regen=(base_key, int(index_offset) + int(n_rays)),
+    )
 
 
 def trace_bundle(compiled, cfg: TraceConfig, tables, positions, directions,
@@ -550,7 +569,7 @@ def trace_bundle(compiled, cfg: TraceConfig, tables, positions, directions,
 
 
 def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
-         directions, wavelengths):
+         directions, wavelengths, regen=None):
     N = cfg.n_nodes
     f = cfg.dtype
     B = positions.shape[0]
@@ -623,6 +642,10 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         "log": log,
         "tallies": _empty_tallies(cfg, B),
     }
+    if regen is not None:
+        regen_base_key, regen_total = regen
+        state["pid"] = photon_ids
+        state["next"] = photon_ids[-1].astype(jnp.uint32) + jnp.uint32(1)
 
     spec_pack = tables["spec_pack"]
     icdf_pairs = tables["ems_icdf_pairs"]
@@ -1166,7 +1189,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         # --- liveness --------------------------------------------------
         alive = alive & ~exit_mask & ~nonrad
 
-        return {
+        out = {
             "px": px, "py": py, "pz": pz,
             "dx": dxv, "dy": dyv, "dz": dzv,
             "wav": wav,
@@ -1183,10 +1206,81 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             "tallies": tallies,
         }
 
+        # --- lane regeneration -----------------------------------------
+        # Refill dead lanes with freshly emitted photons while the
+        # global budget lasts: new global ids are assigned to dead lanes
+        # in lane order via a prefix sum, each new photon's key stream
+        # is fold_in(base_key, pid) exactly as at launch, and all
+        # per-photon state (including the recorder `seen` bitmask and
+        # the event-log slot) is reset for the refilled lanes.
+        if regen is not None:
+            pid = state["pid"]
+            nxt = state["next"]
+            dead = ~alive
+            ranks = jnp.cumsum(dead.astype(jnp.uint32)) - jnp.uint32(1)
+            cand = nxt + ranks
+            refill = dead & (cand < jnp.uint32(regen_total))
+            pid = jnp.where(refill, cand, pid)
+            nxt = nxt + jnp.sum(refill, dtype=jnp.uint32)
+            new_keys = jax.vmap(
+                lambda i: jax.random.fold_in(regen_base_key, i)
+            )(pid)
+            epos3, edir3, ewav = _device_emit(
+                compiled, cfg, tables, new_keys, pid
+            )
+            zero = jnp.zeros(B, f)
+            out["px"] = jnp.where(refill, epos3[:, 0], px)
+            out["py"] = jnp.where(refill, epos3[:, 1], py)
+            out["pz"] = jnp.where(refill, epos3[:, 2], pz)
+            out["dx"] = jnp.where(refill, edir3[:, 0], dxv)
+            out["dy"] = jnp.where(refill, edir3[:, 1], dyv)
+            out["dz"] = jnp.where(refill, edir3[:, 2], dzv)
+            out["wav"] = jnp.where(refill, ewav, wav)
+            out["trav"] = jnp.where(refill, zero, trav)
+            out["dur"] = jnp.where(refill, zero, dur)
+            out["source"] = jnp.where(refill, -1, source)
+            out["count"] = jnp.where(refill, 0, count)
+            out["alive"] = alive | refill
+            out["keys"] = new_keys
+            out["pid"] = pid
+            out["next"] = nxt
+            nevents = jnp.where(refill, 0, nevents)
+            if cfg.record_every > 0:
+                slot = jnp.where(
+                    refill,
+                    jnp.where(
+                        pid % cfg.record_every == 0,
+                        (pid // cfg.record_every).astype(jnp.int32),
+                        cfg.n_slots,
+                    ),
+                    slot,
+                )
+            out["slot"] = slot
+            tallies = dict(tallies)
+            tallies["seen"] = jnp.where(
+                refill[:, None], False, tallies["seen"]
+            )
+            out["tallies"] = tallies
+            log, nevents = _record(
+                log, nevents, slot, refill, cfg,
+                kind=EV_GENERATE, hit=-1, container=-1, adjacent=-1,
+                component=-1, source=-1, pos3=epos3, dir3=edir3,
+                normal3=None, wavelength=ewav, travelled=zero, duration=zero,
+            )
+            out["log"] = log
+            out["nevents"] = nevents
+
+        return out
+
     state = jax.lax.while_loop(cond, body, state)
 
-    recorded = state["slot"] < cfg.n_slots
-    counts = jnp.zeros(max(cfg.n_slots, 1), jnp.int32).at[
-        jnp.where(recorded, state["slot"], 0)
-    ].max(jnp.where(recorded, state["nevents"], 0))[: max(cfg.n_slots, 1)]
+    # Per-slot event counts from the log itself (a lane's slot changes
+    # over time under regeneration, so the final per-lane nevents is
+    # not enough).
+    if cfg.n_slots > 0:
+        counts = jnp.sum(
+            state["log"]["kind"][: cfg.n_slots] >= 0, axis=1
+        ).astype(jnp.int32)
+    else:
+        counts = jnp.zeros(1, jnp.int32)
     return state["tallies"], state["log"], counts, state["step"]
