@@ -87,9 +87,10 @@ def main():
     scene = build_scene()
     np.random.seed(0)
 
-    bundle = 4_000_000
-    # Compile + warm up
-    engine.simulate(scene, bundle, seed=1, record_every=0, dtype=np.float32)
+    bundle = 32_000_000
+    # Compile + warm up. Lane regeneration with a traced photon budget:
+    # the warmup (small N) and the timed runs share one compiled program.
+    engine.simulate(scene, 2_000_000, seed=1, record_every=0, dtype=np.float32)
 
     # Timed runs (wall clock including host-side result handling)
     total_rays = 0

@@ -539,15 +539,20 @@ def trace_bundle_device_emit(compiled, cfg: TraceConfig, tables, base_key,
     entire stream is a pure function of ``fold_in(base_key, pid)``, so
     tallies are independent of lane scheduling.
     """
-    if lanes is None or lanes >= n_rays:
+    if lanes is None or (
+        isinstance(n_rays, int) and lanes >= n_rays
+    ):
         photon_ids, keys = _photon_keys(base_key, n_rays, index_offset)
         pos3, dir3, wav = _device_emit(compiled, cfg, tables, keys, photon_ids)
         return _run(compiled, cfg, tables, photon_ids, keys, pos3, dir3, wav)
+    # `n_rays` may be a traced scalar here: the budget only appears in
+    # comparisons, so one compiled program serves any photon count.
     photon_ids, keys = _photon_keys(base_key, lanes, index_offset)
     pos3, dir3, wav = _device_emit(compiled, cfg, tables, keys, photon_ids)
+    total = jnp.uint32(index_offset) + jnp.asarray(n_rays, jnp.uint32)
     return _run(
         compiled, cfg, tables, photon_ids, keys, pos3, dir3, wav,
-        regen=(base_key, int(index_offset) + int(n_rays)),
+        regen=(base_key, total),
     )
 
 
@@ -670,7 +675,15 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         step = state["step"] + 1
         count = state["count"] + alive.astype(jnp.int32)
 
-        skeys = jax.vmap(lambda k: jax.random.fold_in(k, step))(state["keys"])
+        # Fold the PER-PHOTON step counter (not the global loop step):
+        # each photon's stream is then a pure function of
+        # (base_key, pid, its own step index), making tallies bitwise
+        # independent of lane width, regeneration scheduling, and mesh
+        # sharding — the TPU analogue of the reference's
+        # one-xoshiro-stream-per-ray guarantee (_kernel.pyx:71-77).
+        skeys = jax.vmap(jax.random.fold_in)(
+            state["keys"], count.astype(jnp.uint32)
+        )
         u = jax.vmap(lambda k: jax.random.uniform(k, (8,), dtype=f))(skeys)
 
         def pos3():
@@ -1219,7 +1232,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             dead = ~alive
             ranks = jnp.cumsum(dead.astype(jnp.uint32)) - jnp.uint32(1)
             cand = nxt + ranks
-            refill = dead & (cand < jnp.uint32(regen_total))
+            refill = dead & (cand < jnp.asarray(regen_total, jnp.uint32))
             pid = jnp.where(refill, cand, pid)
             nxt = nxt + jnp.sum(refill, dtype=jnp.uint32)
             new_keys = jax.vmap(

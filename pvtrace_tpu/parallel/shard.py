@@ -88,3 +88,67 @@ def shard_trace(compiled, cfg, mesh, axis_name="photons"):
         return fn(tables, positions, directions, wavelengths, base_key)
 
     return traced
+
+
+def shard_trace_device_emit(compiled, cfg, mesh, lanes=None,
+                            axis_name="photons"):
+    """Multi-chip tracing with device-side emission and regeneration.
+
+    Returns fn(tables, n_rays, base_key) -> (tallies, steps). The
+    photon budget is split evenly over the mesh; each shard emits its
+    photons on device from its own global-id range (no host bundle, no
+    transfer) and, when ``lanes`` is set, refills dead lanes until its
+    budget is spent. Keys fold the global photon index, so the union of
+    shard results equals a single-device run over the same ids.
+
+    `n_rays` is traced (one compile serves any budget); it must be a
+    multiple of the mesh size, and each shard's share must exceed
+    `lanes` for regeneration to engage.
+    """
+    if cfg.n_slots != 0:
+        raise ValueError(
+            "shard_trace_device_emit requires record_every=0 "
+            "(tallies only)."
+        )
+    if not compiled.lights_supported:
+        raise ValueError(
+            "Scene lights are not supported for device-side emission."
+        )
+    n_dev = mesh.devices.size
+
+    def per_shard(tables, n_per_shard, base_key):
+        shard = jax.lax.axis_index(axis_name)
+        n_local = n_per_shard[0]
+        offset = shard.astype(jnp.uint32) * n_local.astype(jnp.uint32)
+        tallies, _log, _counts, steps = tracer_module.trace_bundle_device_emit(
+            compiled, cfg, tables, base_key, n_local,
+            index_offset=offset, lanes=lanes,
+        )
+        reduced = {
+            "distinct": jax.lax.psum(tallies["distinct"], axis_name),
+            "cross": jax.lax.psum(tallies["cross"], axis_name),
+            "sums": jax.lax.psum(tallies["sums"], axis_name),
+            "bins": jax.lax.psum(tallies["bins"], axis_name),
+            "fates": jax.lax.psum(tallies["fates"], axis_name),
+        }
+        return reduced, jax.lax.pmax(steps, axis_name)
+
+    fn = jax.jit(
+        jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+    def traced(tables, n_rays, base_key):
+        if int(n_rays) % n_dev != 0:
+            raise ValueError(
+                f"n_rays ({n_rays}) must divide the mesh size ({n_dev})."
+            )
+        n_per = jnp.full((1,), int(n_rays) // n_dev, jnp.uint32)
+        return fn(tables, n_per, base_key)
+
+    return traced
