@@ -20,6 +20,41 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from pvtrace_tpu.engine import compiler as comp
+from pvtrace_tpu.light.event import Event
+
+
+def fate_gradients(scene, num_rays, seed=None, **kwargs):
+    """Full multi-bounce gradients of fate fractions from ONE run.
+
+    Score-function (likelihood-ratio) estimator, accumulated on device
+    by the wavefront tracer: every free-path sample and component
+    roulette contributes d log p(path)/d log(scale_c), and at
+    termination the path score is folded into its fate's accumulator,
+    so
+
+        d P(fate) / d log(scale_c)  =  E[ 1{fate} * score_c ].
+
+    Returns (fractions, gradients): ``fractions[Event]`` is the fate
+    fraction, ``gradients[Event]`` is a [n_components] array of
+    d fraction / d log(component coefficient scale). Discrete events
+    (Fresnel coin flips, quantum-yield) do not depend on the scales, so
+    no reparameterisation is needed — this is exact in expectation,
+    unlike finite differences, and costs a single simulation.
+
+    kwargs pass through to ``engine.simulate`` (lanes, dtype, ...).
+    """
+    from pvtrace_tpu.engine.api import simulate
+
+    result = simulate(
+        scene, num_rays, seed=seed, record_every=0, score=True, **kwargs
+    )
+    scores = np.asarray(result.data["fate_scores"], dtype=np.float64)
+    fates = np.asarray(result.data["fates"], dtype=np.float64)
+    fractions, gradients = {}, {}
+    for event in (Event.EXIT, Event.NONRADIATIVE, Event.REACT, Event.KILL):
+        fractions[event] = fates[event.value] / num_rays
+        gradients[event] = scores[event.value] / num_rays
+    return fractions, gradients
 
 
 def _absorbing_node(compiled):

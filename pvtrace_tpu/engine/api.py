@@ -265,6 +265,10 @@ def _get_tracer(compiled, cfg, lanes=None):
                 ]
             )
             floats = jnp.ravel(tallies["sums"])
+            if cfg.score:
+                floats = jnp.concatenate(
+                    [floats, jnp.ravel(tallies["fate_scores"])]
+                )
             return ints, floats, log
 
         if compiled.lights_supported:
@@ -311,6 +315,7 @@ def simulate(
     dtype=None,
     compiled=None,
     lanes="auto",
+    score=False,
 ):
     """Trace `num_rays` through `scene` with the device engine.
 
@@ -325,8 +330,13 @@ def simulate(
     `lanes` sets the wavefront width for device-emitted bundles. When
     smaller than `num_rays`, dead lanes are refilled with new photons
     (regeneration) so the loop cost follows the mean photon lifetime,
-    not the max. "auto" picks `min(num_rays, 2**20)`; None disables
+    not the max. "auto" picks `min(num_rays, 2**19)`; None disables
     regeneration.
+
+    With `score=True` the tracer also accumulates score-function
+    (likelihood-ratio) gradient sums: `result.data["fate_scores"][f, c]`
+    such that d(fraction of fate f)/d log(scale of component c) =
+    fate_scores[f, c] / num_rays. See `pvtrace_tpu.diff.transport`.
     """
     import jax
     import jax.numpy as jnp
@@ -354,6 +364,7 @@ def simulate(
         max_events=max_events,
         record_every=record_every,
         emit_method=emit_method,
+        score=score,
     )
     if lanes == "auto":
         # 2^19 lanes measured fastest on v5e across 4M-32M photon
@@ -402,12 +413,15 @@ def simulate(
     data = {
         "rec_distinct": distinct,
         "rec_crossings": crossings,
-        "rec_sums": floats.reshape(R, 8),
+        "rec_sums": floats[: R * 8].reshape(R, 8),
         "rec_bins": bins[:-1],  # drop overflow slot
         "fates": fates,
         "counts": counts[: cfg.n_slots],
         "steps": int(steps[0]),
     }
+    if score:
+        C = max(cfg.n_comps, 1)
+        data["fate_scores"] = floats[R * 8 :].reshape(11, C)
     log_fields = (
         "kind", "hit", "container", "adjacent", "component", "source",
         "position", "direction", "normal", "wavelength", "travelled",

@@ -87,10 +87,13 @@ class TraceConfig(NamedTuple):
     record_every: int
     emit_method: int
     dtype: type
+    score: bool = False
+    n_comps: int = 0
 
 
 def make_config(compiled, n_rays, dtype=np.float32, maxsteps=1000,
-                max_events=128, record_every=1, emit_method="kT"):
+                max_events=128, record_every=1, emit_method="kT",
+                score=False):
     if record_every > 0:
         n_slots = (n_rays + record_every - 1) // record_every
     else:
@@ -115,6 +118,8 @@ def make_config(compiled, n_rays, dtype=np.float32, maxsteps=1000,
         if isinstance(emit_method, str)
         else int(emit_method),
         dtype=np.dtype(dtype).type,
+        score=bool(score),
+        n_comps=int(compiled.n_components),
     )
 
 
@@ -318,7 +323,7 @@ def _record(log, nevents, slot, mask, cfg, *, kind, hit, container, adjacent,
 
 def _empty_tallies(cfg, B):
     R = max(cfg.n_recorders, 1)
-    return {
+    out = {
         "distinct": jnp.zeros(R, dtype=jnp.int32),
         "cross": jnp.zeros(R, dtype=jnp.int32),
         "sums": jnp.zeros((R, 8), dtype=cfg.dtype),
@@ -326,6 +331,15 @@ def _empty_tallies(cfg, B):
         "seen": jnp.zeros((B, R), dtype=bool),
         "fates": jnp.zeros(N_FATES, dtype=jnp.int32),
     }
+    if cfg.score:
+        # Score-function (likelihood-ratio) accumulators: per terminal
+        # fate, the sum over photons of d log p(path) / d log(scale_c)
+        # for every component c. d(fate fraction)/d log c is then
+        # fate_scores[fate, c] / num_rays.
+        out["fate_scores"] = jnp.zeros(
+            (N_FATES, max(cfg.n_comps, 1)), dtype=cfg.dtype
+        )
+    return out
 
 
 def _tally(tallies, compiled, cfg, sel, tnode, have_normal, wnormal3, lpos3,
@@ -647,6 +661,8 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         "log": log,
         "tallies": _empty_tallies(cfg, B),
     }
+    if cfg.score:
+        state["score"] = jnp.zeros((max(cfg.n_comps, 1), B), f)
     if regen is not None:
         regen_base_key, regen_total = regen
         state["pid"] = photon_ids
@@ -671,6 +687,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         slot = state["slot"]
         tallies = state["tallies"]
         fates = tallies["fates"]
+        score = state["score"] if cfg.score else None
 
         step = state["step"] + 1
         count = state["count"] + alive.astype(jnp.int32)
@@ -755,8 +772,9 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         container = jnp.where(nhits == 1, hit, container)
         adjacent = jnp.where(nhits == 1, -1, adjacent)
 
+        no_hit_term = alive & no_hit
         fates = fates.at[FATE_NO_HIT].add(
-            jnp.sum(alive & no_hit, dtype=jnp.int32)
+            jnp.sum(no_hit_term, dtype=jnp.int32)
         )
         alive = alive & ~no_hit
 
@@ -856,6 +874,36 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                     acc = jnp.where(comp_id == c, values[c], acc)
                 return acc
 
+            if cfg.score:
+                # Score-function estimator: accumulate
+                # d log p(path) / d log(scale_c) per component. For the
+                # sampled free path (density alpha_t*exp(-alpha_t*s),
+                # component roulette alpha_j/alpha_t):
+                #   absorbed by j at depth s: 1{j=c} - alpha_c*s
+                #   reached the boundary:     -alpha_c*t0
+                # (a log-derivative, so the per-component attenuation
+                # alpha_c both times; quantum-yield coin flips do not
+                # depend on the scales).
+                contribs = []
+                for c in range(n_comps):
+                    terms = []
+                    for n in range(N):
+                        comp_ids_n = node_static[n][3]
+                        if c not in comp_ids_n:
+                            continue
+                        k_own = comp_ids_n.index(c)
+                        a_c = cums[k_own] - (
+                            cums[k_own - 1] if k_own > 0 else 0.0
+                        )
+                        terms.append((n, a_c))
+                    a_here = jnp.zeros(B, f)
+                    for n, a_c in terms:
+                        a_here = jnp.where(container == n, a_c, a_here)
+                    ds = jnp.where(alive, -a_here * advance, 0.0)
+                    ds = ds + (absorbed & (comp_id == c)).astype(f)
+                    contribs.append(ds)
+                score = score + jnp.stack(contribs)
+
             qy = comp_attr([cs[1] for cs in comp_static], 0.0)
             radiative_comps = [
                 c for c in range(n_comps)
@@ -921,16 +969,16 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                     [max(cs[6], 0) for cs in comp_static], 0.0
                 ).astype(jnp.int32)
 
-                def do_icdf(_):
-                    gposf = gamma * (M - 1)
-                    j0 = jnp.clip(gposf.astype(jnp.int32), 0, M - 2)
-                    gfrac = gposf - j0.astype(f)
-                    prow = icdf_pairs[lumidx * M + j0]  # [B, 2]
-                    return prow[:, 0] + gfrac * (prow[:, 1] - prow[:, 0])
-
-                new_wav = jax.lax.cond(
-                    jnp.any(emitting), do_icdf, lambda _: wav, None
-                )
+                # Unconditional: at wavefront widths >10^5 some lane
+                # emits virtually every step, so gating this gather
+                # behind lax.cond(any(emitting)) saves nothing and the
+                # any() reduction serialises the step (measured equal
+                # or slower).
+                gposf = gamma * (M - 1)
+                j0 = jnp.clip(gposf.astype(jnp.int32), 0, M - 2)
+                gfrac = gposf - j0.astype(f)
+                prow = icdf_pairs[lumidx * M + j0]  # [B, 2]
+                new_wav = prow[:, 0] + gfrac * (prow[:, 1] - prow[:, 0])
                 tau_rad = comp_attr([cs[2] for cs in comp_static], 0.0)
                 rad_delay = jnp.where(
                     tau_rad > 0.0, -jnp.log1p(-u[:, 6]) * tau_rad, 0.0
@@ -1202,6 +1250,32 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         # --- liveness --------------------------------------------------
         alive = alive & ~exit_mask & ~nonrad
 
+        # --- score termination scatter ---------------------------------
+        # When a photon terminates, fold its accumulated path score into
+        # the per-fate gradient accumulator: d(fate fraction)/d log c =
+        # E[1{fate} * score_c].
+        if cfg.score:
+            term = jnp.zeros(B, dtype=bool)
+            fate_id = jnp.zeros(B, jnp.int32)
+            terminal = [
+                (exit_mask, EV_EXIT),
+                (losing, EV_NONRADIATIVE),
+                (reacting, EV_REACT),
+                (kill_max, EV_KILL),
+                (adj_bad, EV_KILL),
+                (no_hit_term, FATE_NO_HIT),
+            ]
+            if cfg.n_slots > 0:
+                terminal.append((budget_kill, EV_KILL))
+            for mask, fid in terminal:
+                term = term | mask
+                fate_id = jnp.where(mask, fid, fate_id)
+            idx = jnp.where(term, fate_id, 0)
+            vals = jnp.where(term[None, :], score, 0.0)  # [C, B]
+            fate_scores = tallies["fate_scores"].at[idx].add(vals.T)
+            tallies = dict(tallies)
+            tallies["fate_scores"] = fate_scores
+
         out = {
             "px": px, "py": py, "pz": pz,
             "dx": dxv, "dy": dyv, "dz": dzv,
@@ -1218,6 +1292,8 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             "log": log,
             "tallies": tallies,
         }
+        if cfg.score:
+            out["score"] = score
 
         # --- lane regeneration -----------------------------------------
         # Refill dead lanes with freshly emitted photons while the
@@ -1227,6 +1303,14 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         # per-photon state (including the recorder `seen` bitmask and
         # the event-log slot) is reset for the refilled lanes.
         if regen is not None:
+            # Shared-queue id assignment: dead lanes take the next ids
+            # in lane order via a prefix sum. (A strided
+            # pid += B assignment would avoid the cumsum, but measured
+            # ~15% slower end-to-end: fixed per-lane queues leave
+            # straggler lanes at the drain, while the shared queue
+            # load-balances perfectly. Tallies are bitwise identical
+            # either way — each photon's history is a pure function of
+            # (base_key, pid).)
             pid = state["pid"]
             nxt = state["next"]
             dead = ~alive
@@ -1257,6 +1341,8 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             out["keys"] = new_keys
             out["pid"] = pid
             out["next"] = nxt
+            if cfg.score:
+                out["score"] = jnp.where(refill[None, :], 0.0, score)
             nevents = jnp.where(refill, 0, nevents)
             if cfg.record_every > 0:
                 slot = jnp.where(

@@ -98,3 +98,126 @@ def concatenate_matrices(*matrices):
     for mat in matrices:
         m = m @ np.asarray(mat)
     return m
+
+
+def quaternion_about_axis(angle, axis):
+    """Quaternion (w, x, y, z) for rotation about `axis` by `angle`."""
+    a = np.asarray(axis, dtype=float)
+    n = np.linalg.norm(a)
+    if n == 0.0:
+        raise ValueError("Zero-length rotation axis.")
+    a = a / n * np.sin(angle / 2.0)
+    return np.array([np.cos(angle / 2.0), a[0], a[1], a[2]])
+
+
+def quaternion_multiply(q1, q0):
+    """Hamilton product q1 * q0 of (w, x, y, z) quaternions."""
+    w0, x0, y0, z0 = q0
+    w1, x1, y1, z1 = q1
+    return np.array(
+        [
+            w1 * w0 - x1 * x0 - y1 * y0 - z1 * z0,
+            w1 * x0 + x1 * w0 + y1 * z0 - z1 * y0,
+            w1 * y0 - x1 * z0 + y1 * w0 + z1 * x0,
+            w1 * z0 + x1 * y0 - y1 * x0 + z1 * w0,
+        ]
+    )
+
+
+def quaternion_matrix(quaternion):
+    """Homogeneous rotation matrix from a (w, x, y, z) quaternion."""
+    q = np.asarray(quaternion, dtype=float)
+    n = np.dot(q, q)
+    if n < 1e-14:
+        return np.identity(4)
+    q = q * np.sqrt(2.0 / n)
+    q = np.outer(q, q)
+    return np.array(
+        [
+            [1.0 - q[2, 2] - q[3, 3], q[1, 2] - q[3, 0], q[1, 3] + q[2, 0], 0.0],
+            [q[1, 2] + q[3, 0], 1.0 - q[1, 1] - q[3, 3], q[2, 3] - q[1, 0], 0.0],
+            [q[1, 3] - q[2, 0], q[2, 3] + q[1, 0], 1.0 - q[1, 1] - q[2, 2], 0.0],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+
+
+def quaternion_from_matrix(matrix):
+    """Quaternion (w, x, y, z) from a rotation matrix (Shepperd)."""
+    m = np.asarray(matrix, dtype=float)[:3, :3]
+    t = np.trace(m)
+    if t > 0.0:
+        w = np.sqrt(1.0 + t) / 2.0
+        x = (m[2, 1] - m[1, 2]) / (4.0 * w)
+        y = (m[0, 2] - m[2, 0]) / (4.0 * w)
+        z = (m[1, 0] - m[0, 1]) / (4.0 * w)
+    else:
+        i = int(np.argmax(np.diagonal(m)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(1.0 + m[i, i] - m[j, j] - m[k, k]) * 2.0
+        q = np.empty(4)
+        q[0] = (m[k, j] - m[j, k]) / s
+        q[i + 1] = s / 4.0
+        q[j + 1] = (m[j, i] + m[i, j]) / s
+        q[k + 1] = (m[k, i] + m[i, k]) / s
+        w, x, y, z = q
+    quat = np.array([w, x, y, z])
+    return quat / np.linalg.norm(quat)
+
+
+class Arcball:
+    """Virtual trackball for mouse-driven 3D rotation.
+
+    Same interface idea as the reference's vendored transformations
+    library (reference geometry/transformations.py:1535): `down(point)`
+    starts a drag, `drag(point)` updates the rotation, `matrix()`
+    returns the homogeneous rotation. Points are (x, y) screen
+    coordinates; set `place(center, radius)` to position the ball.
+    """
+
+    def __init__(self, initial=None):
+        self._center = np.zeros(2)
+        self._radius = 1.0
+        self._q_down = np.array([1.0, 0.0, 0.0, 0.0])
+        self._q_now = (
+            np.array([1.0, 0.0, 0.0, 0.0])
+            if initial is None
+            else quaternion_from_matrix(initial)
+        )
+        self._v_down = np.array([0.0, 0.0, 1.0])
+
+    def place(self, center, radius):
+        self._center = np.asarray(center, dtype=float)
+        self._radius = float(radius)
+
+    def _to_sphere(self, point):
+        v = (np.asarray(point, dtype=float) - self._center) / self._radius
+        d2 = v[0] * v[0] + v[1] * v[1]
+        if d2 > 1.0:
+            v = v / np.sqrt(d2)
+            return np.array([v[0], v[1], 0.0])
+        return np.array([v[0], v[1], np.sqrt(1.0 - d2)])
+
+    def down(self, point):
+        self._v_down = self._to_sphere(point)
+        self._q_down = self._q_now.copy()
+
+    def drag(self, point):
+        v_now = self._to_sphere(point)
+        axis = np.cross(self._v_down, v_now)
+        dot = float(np.clip(np.dot(self._v_down, v_now), -1.0, 1.0))
+        if np.linalg.norm(axis) < 1e-12:
+            q_drag = np.array([1.0, 0.0, 0.0, 0.0])
+        else:
+            q_drag = np.concatenate(([dot], axis))
+            q_drag = q_drag / np.linalg.norm(q_drag)
+            # quaternion with half-angle cos = dot is (cos t, sin t * n);
+            # build directly from the rotation between the two vectors
+            angle = np.arccos(dot)
+            q_drag = quaternion_about_axis(
+                angle, axis / np.linalg.norm(axis)
+            )
+        self._q_now = quaternion_multiply(q_drag, self._q_down)
+
+    def matrix(self):
+        return quaternion_matrix(self._q_now)

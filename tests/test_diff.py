@@ -1,0 +1,148 @@
+"""Differentiable-transport tests (BASELINE north star).
+
+The device tracer's score-function estimator gives full multi-bounce
+gradients of fate fractions w.r.t. component coefficient scales from a
+single run. Validated here (1) against the ANALYTIC gradient on a
+straight-through absorber slab, and (2) against central finite
+differences with common random numbers on the multi-bounce LSC scene.
+"""
+import functools
+
+import numpy as np
+import pytest
+
+from pvtrace_tpu import (
+    Absorber,
+    Box,
+    Light,
+    Luminophore,
+    Material,
+    Node,
+    Scene,
+    Sphere,
+    cone,
+)
+from pvtrace_tpu.data import lumogen_f_red_305
+from pvtrace_tpu.diff.transport import fate_gradients
+from pvtrace_tpu.light.event import Event
+from pvtrace_tpu.light.light import ConstantWavelengthMask
+from pvtrace_tpu.material.surface import NullSurfaceDelegate, Surface
+
+
+def slab_scene(alpha):
+    """Collimated light through a null-surface slab: no reflection, no
+    refraction — P(absorb) = 1 - exp(-alpha * L) exactly."""
+    world = Node(
+        name="world",
+        geometry=Sphere(radius=10.0, material=Material(refractive_index=1.0)),
+    )
+    Node(
+        name="slab",
+        parent=world,
+        geometry=Box(
+            (2.0, 2.0, 1.0),
+            material=Material(
+                refractive_index=1.0,
+                surface=Surface(delegate=NullSurfaceDelegate()),
+                components=[Absorber(alpha)],
+            ),
+        ),
+    )
+    light = Node(
+        name="light",
+        parent=world,
+        light=Light(wavelength=ConstantWavelengthMask(555.0)),
+    )
+    light.translate((0.0, 0.0, 3.0))
+    light.rotate(np.radians(180), (1, 0, 0))
+    return Scene(world)
+
+
+def lsc_scene(scale_dye=1.0, scale_bg=1.0):
+    x = np.arange(400, 801, dtype=float)
+    world = Node(
+        name="world",
+        geometry=Sphere(radius=25.0, material=Material(refractive_index=1.0)),
+    )
+    Node(
+        name="lsc",
+        parent=world,
+        geometry=Box(
+            (5.0, 5.0, 1.0),
+            material=Material(
+                refractive_index=1.5,
+                components=[
+                    Luminophore(
+                        np.column_stack(
+                            (x, scale_dye * 10 * lumogen_f_red_305.absorption(x))
+                        ),
+                        emission=np.column_stack(
+                            (x, lumogen_f_red_305.emission(x))
+                        ),
+                        quantum_yield=0.9,
+                    ),
+                    Absorber(0.3 * scale_bg),
+                ],
+            ),
+        ),
+    )
+    light = Node(
+        name="light",
+        parent=world,
+        light=Light(
+            direction=functools.partial(cone, np.radians(20)),
+            wavelength=ConstantWavelengthMask(555.0),
+        ),
+    )
+    light.translate((0.0, 0.0, 3.0))
+    light.rotate(np.radians(180), (1, 0, 0))
+    return Scene(world)
+
+
+def test_score_gradient_matches_analytic_slab():
+    alpha, L = 0.8, 1.0
+    N = 120_000
+    fractions, gradients = fate_gradients(
+        slab_scene(alpha), N, seed=7, dtype=np.float64
+    )
+    p_abs = 1.0 - np.exp(-alpha * L)
+    dp_dlog = alpha * L * np.exp(-alpha * L)  # d/d log(scale) at scale=1
+
+    sigma_p = np.sqrt(p_abs * (1 - p_abs) / N)
+    assert abs(fractions[Event.NONRADIATIVE] - p_abs) < 5 * sigma_p
+
+    # Score estimator variance for the single-pass slab is O(1)/N
+    assert abs(gradients[Event.NONRADIATIVE][0] - dp_dlog) < 0.02
+    assert abs(gradients[Event.EXIT][0] + dp_dlog) < 0.02
+
+
+def test_score_gradient_matches_finite_differences_lsc():
+    N = 150_000
+    _, gradients = fate_gradients(lsc_scene(), N, seed=5, dtype=np.float64)
+
+    # Central FD on log-scale of the BACKGROUND absorber (largest,
+    # least-noisy gradient), common random numbers.
+    delta = 0.1
+    fp, _ = fate_gradients(
+        lsc_scene(scale_bg=np.exp(delta)), N, seed=5, dtype=np.float64
+    )
+    fm, _ = fate_gradients(
+        lsc_scene(scale_bg=np.exp(-delta)), N, seed=5, dtype=np.float64
+    )
+    for event in (Event.EXIT, Event.NONRADIATIVE):
+        fd = (fp[event] - fm[event]) / (2 * delta)
+        assert abs(gradients[event][1] - fd) < 0.03, (event, fd)
+
+    # Gradients over all fates sum to ~0 (total probability is 1)
+    total = sum(g for g in gradients.values())
+    assert np.all(np.abs(total) < 0.02)
+
+
+def test_score_zero_for_unscaled_paths():
+    # A photon that never enters the absorbing node carries zero score:
+    # fate NO_HIT / EXIT-without-absorber contributions must not leak.
+    scene = slab_scene(1e-9)  # essentially transparent
+    fractions, gradients = fate_gradients(scene, 20_000, seed=1,
+                                          dtype=np.float64)
+    assert fractions[Event.EXIT] > 0.99
+    assert np.all(np.abs(gradients[Event.EXIT]) < 1e-6)
