@@ -330,6 +330,7 @@ class CompiledScene:
             else:
                 extents.append(max(self.geom_params[i, 0], self.geom_params[i, 1]))
         self.scene_extent = float(max(extents))
+        self.node_extent = tuple(float(v) for v in extents)
         self.eps = eps  # resolved per-dtype in device_tables
 
         self._compile_recorders(nodes)
@@ -614,13 +615,29 @@ class CompiledScene:
     # -- device lowering ----------------------------------------------
 
     def resolved_eps(self, dtype):
-        """Forward-hit tolerance for the given compute dtype."""
+        """Forward-hit tolerance for the given compute dtype (scene-wide;
+        prefer `resolved_eps_per_node` — see that docstring)."""
         if self.eps is not None:
             return float(self.eps)
         scale = max(1.0, self.scene_extent)
         if np.dtype(dtype) == np.float32:
             return 3e-5 * scale
         return 2.2e-12 * scale
+
+    def resolved_eps_per_node(self, dtype):
+        """Per-node forward-hit tolerance.
+
+        Intersections are solved in each node's LOCAL frame, so the f32
+        rounding error scales with that node's own extent — not the
+        scene's. A single scene-wide eps breaks thin features: a world
+        container 100x the device makes eps larger than, e.g., the gap
+        between a lamp and the LSC surface, silently filtering real
+        hits (caught by the 10^8-photon flux validation).
+        """
+        if self.eps is not None:
+            return tuple(float(self.eps) for _ in self.node_extent)
+        factor = 3e-5 if np.dtype(dtype) == np.float32 else 2.2e-12
+        return tuple(factor * max(1.0, e) for e in self.node_extent)
 
     def device_tables(self, dtype=np.float32):
         """Pytree of device arrays in the compute dtype."""

@@ -38,11 +38,79 @@ branch with per-facet overrides, KILL on step/budget caps.
 The loop terminates as soon as every photon is dead, so a bundle costs
 ~(longest-lived photon) steps, not ``maxsteps``.
 """
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Diagnostic ablations (perf bisection only — physics becomes WRONG):
+# PVTRACE_TPU_ABLATE may contain "rng" (hash instead of threefry draws)
+# and/or "gather" (constant spectral rows instead of table gathers).
+_ABLATE = os.environ.get("PVTRACE_TPU_ABLATE", "")
+
+
+# ----------------------------------------------------------------------
+# Flat counter-based RNG.
+#
+# jax.random's vmapped per-lane keys store state as [B, 2] and draws as
+# [B, 8] — minor dimensions of 2/8 waste most of each (8, 128) TPU tile
+# and measured ~1/3 of the whole step. The same threefry2x32 generator
+# (bit-exact, verified against jax._src.prng.threefry_2x32) on flat [B]
+# word arrays removes that waste. Streams are labelled by counters:
+#
+#   photon key  (pk0, pk1) = threefry(seed, pid, 0)
+#   step draws  u[2j], u[2j+1] = threefry(pk, count, j), j = 0..3
+#   emission    e[2j], e[2j+1] = threefry(pk, 0, 16 + j)
+#
+# Every draw is a pure function of (seed, photon id, the photon's own
+# step counter), preserving the bitwise lane-width/sharding invariance.
+
+
+def _rotl32(x, d):
+    return (x << np.uint32(d)) | (x >> np.uint32(32 - d))
+
+
+_THREEFRY_ROT = ((13, 15, 26, 6), (17, 29, 16, 24))
+
+
+def _threefry2x32(k0, k1, c0, c1):
+    """Threefry-2x32 (20 rounds), identical bits to jax's generator."""
+    ks2 = k0 ^ k1 ^ np.uint32(0x1BD11BDA)
+    ks = (k0, k1, ks2)
+    x0 = c0 + ks[0]
+    x1 = c1 + ks[1]
+    for r in range(5):
+        for rot in _THREEFRY_ROT[r % 2]:
+            x0 = x0 + x1
+            x1 = _rotl32(x1, rot)
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(r + 1) % 3]
+        x1 = x1 + ks[(r + 2) % 3] + np.uint32(r + 1)
+    return x0, x1
+
+
+def _uniform32(bits, f):
+    """Uniform in [0, 1) from 32 random bits (jax's construction)."""
+    fbits = (bits >> np.uint32(9)) | np.uint32(0x3F800000)
+    return jax.lax.bitcast_convert_type(fbits, jnp.float32).astype(f) - 1.0
+
+
+def _draw8(pk0, pk1, counter, f):
+    """Eight uniforms per lane from the photon key + step counter."""
+    out = []
+    for j in range(4):
+        c1 = jnp.full_like(counter, j)
+        w0, w1 = _threefry2x32(pk0, pk1, counter, c1)
+        out.append(_uniform32(w0, f))
+        out.append(_uniform32(w1, f))
+    return out
+
+
+def _key_words(base_key):
+    data = jax.random.key_data(base_key).astype(jnp.uint32)
+    return data[..., 0], data[..., 1]
 
 from pvtrace_tpu.engine import compiler as comp
 
@@ -80,7 +148,7 @@ class TraceConfig(NamedTuple):
     grid_n: int
     icdf_n: int
     n_lum: int
-    eps: float
+    eps: tuple  # per-node forward-hit tolerance
     maxsteps: int
     max_events: int
     n_slots: int
@@ -109,7 +177,7 @@ def make_config(compiled, n_rays, dtype=np.float32, maxsteps=1000,
         grid_n=compiled.grid_n,
         icdf_n=compiled.icdf_n,
         n_lum=compiled.n_lum,
-        eps=compiled.resolved_eps(dtype),
+        eps=compiled.resolved_eps_per_node(dtype),
         maxsteps=int(maxsteps),
         max_events=int(max_events),
         n_slots=n_slots,
@@ -421,20 +489,27 @@ def _photon_keys(base_key, B, index_offset):
     photon_ids = jnp.asarray(index_offset, jnp.uint32) + jnp.arange(
         B, dtype=jnp.uint32
     )
-    keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(photon_ids)
-    return photon_ids, keys
+    s0, s1 = _key_words(base_key)
+    pk0, pk1 = _threefry2x32(s0, s1, photon_ids, jnp.zeros_like(photon_ids))
+    return photon_ids, (pk0, pk1)
 
 
 def _device_emit(compiled, cfg, tables, keys, photon_ids):
     """Sample the initial bundle on device from the compiled light
-    sources (static samplers; step-0 key stream). Counterpart of the
-    host bundle emission (engine/emit.py) with zero host work."""
+    sources (static samplers; emission counter stream). Counterpart of
+    the host bundle emission (engine/emit.py) with zero host work."""
     f = cfg.dtype
     B = photon_ids.shape[0]
     M = cfg.icdf_n
-    u = jax.vmap(
-        lambda k: jax.random.uniform(jax.random.fold_in(k, 0), (6,), dtype=f)
-    )(keys)
+    pk0, pk1 = keys
+    zero_c = jnp.zeros(B, jnp.uint32)
+    u = []
+    for j in range(3):
+        w0, w1 = _threefry2x32(
+            pk0, pk1, zero_c, jnp.full(B, 16 + j, jnp.uint32)
+        )
+        u.append(_uniform32(w0, f))
+        u.append(_uniform32(w1, f))
     lights = compiled.light_static
     n_lights = len(lights)
     light_id = (photon_ids % n_lights).astype(jnp.int32)
@@ -455,7 +530,7 @@ def _device_emit(compiled, cfg, tables, keys, photon_ids):
             w_l = jnp.full(B, wspec[1], f)
         else:
             row = int(wspec[1])
-            gpos = u[:, 0] * (M - 1)
+            gpos = u[0] * (M - 1)
             j0 = jnp.clip(gpos.astype(jnp.int32), 0, M - 2)
             gfrac = gpos - j0.astype(f)
             pair = tables["light_icdf_pairs"][row * M + j0]
@@ -467,22 +542,22 @@ def _device_emit(compiled, cfg, tables, keys, photon_ids):
             ly = jnp.zeros(B, f)
             lz = jnp.zeros(B, f)
         elif kind == C.POS_RECT:
-            lx = (2.0 * u[:, 1] - 1.0) * pspec[1]
-            ly = (2.0 * u[:, 2] - 1.0) * pspec[2]
+            lx = (2.0 * u[1] - 1.0) * pspec[1]
+            ly = (2.0 * u[2] - 1.0) * pspec[2]
             lz = jnp.zeros(B, f)
         elif kind == C.POS_CIRCLE:
-            r = jnp.sqrt(u[:, 1]) * pspec[1]
-            ang = 2.0 * np.pi * u[:, 2]
+            r = jnp.sqrt(u[1]) * pspec[1]
+            ang = 2.0 * np.pi * u[2]
             lx = r * jnp.cos(ang)
             ly = r * jnp.sin(ang)
             lz = jnp.zeros(B, f)
         else:  # POS_CUBE
-            lx = (2.0 * u[:, 1] - 1.0) * pspec[1]
-            ly = (2.0 * u[:, 2] - 1.0) * pspec[2]
-            lz = (2.0 * u[:, 3] - 1.0) * pspec[3]
+            lx = (2.0 * u[1] - 1.0) * pspec[1]
+            ly = (2.0 * u[2] - 1.0) * pspec[2]
+            lz = (2.0 * u[3] - 1.0) * pspec[3]
         # direction (local frame), trig-minimal
         dkind, dparam = dspec
-        phi = 2.0 * np.pi * u[:, 5]
+        phi = 2.0 * np.pi * u[5]
         cphi = jnp.cos(phi)
         sphi = jnp.sin(phi)
         if dkind == C.DIR_DEFAULT:
@@ -491,20 +566,20 @@ def _device_emit(compiled, cfg, tables, keys, photon_ids):
             ldz = jnp.ones(B, f)
         else:
             if dkind == C.DIR_CONE:
-                st = jnp.sqrt(u[:, 4]) * np.sin(dparam)
+                st = jnp.sqrt(u[4]) * np.sin(dparam)
                 mu = jnp.sqrt(jnp.clip(1.0 - st * st, 0.0, None))
             elif dkind == C.DIR_ISOTROPIC:
-                mu = 2.0 * u[:, 4] - 1.0
+                mu = 2.0 * u[4] - 1.0
                 st = jnp.sqrt(jnp.clip(1.0 - mu * mu, 0.0, None))
             elif dkind == C.DIR_LAMBERTIAN:
-                st = jnp.sqrt(u[:, 4])
-                mu = jnp.sqrt(jnp.clip(1.0 - u[:, 4], 0.0, None))
+                st = jnp.sqrt(u[4])
+                mu = jnp.sqrt(jnp.clip(1.0 - u[4], 0.0, None))
             else:  # DIR_HG
                 g = dparam
                 if abs(g) < 1e-12:
-                    mu = 2.0 * u[:, 4] - 1.0
+                    mu = 2.0 * u[4] - 1.0
                 else:
-                    s = 2.0 * u[:, 4] - 1.0
+                    s = 2.0 * u[4] - 1.0
                     mu = (
                         1.0 + g * g - ((1.0 - g * g) / (1.0 + g * s)) ** 2
                     ) / (2.0 * g)
@@ -655,7 +730,8 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         "alive": jnp.ones(B, dtype=bool),
         "count": jnp.zeros(B, jnp.int32),
         "step": jnp.zeros((), jnp.int32),
-        "keys": keys,
+        "k0": keys[0],
+        "k1": keys[1],
         "nevents": nevents,
         "slot": slot,
         "log": log,
@@ -692,16 +768,25 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         step = state["step"] + 1
         count = state["count"] + alive.astype(jnp.int32)
 
-        # Fold the PER-PHOTON step counter (not the global loop step):
-        # each photon's stream is then a pure function of
+        # Draws use the PER-PHOTON step counter (not the global loop
+        # step): each photon's stream is a pure function of
         # (base_key, pid, its own step index), making tallies bitwise
         # independent of lane width, regeneration scheduling, and mesh
         # sharding — the TPU analogue of the reference's
         # one-xoshiro-stream-per-ray guarantee (_kernel.pyx:71-77).
-        skeys = jax.vmap(jax.random.fold_in)(
-            state["keys"], count.astype(jnp.uint32)
-        )
-        u = jax.vmap(lambda k: jax.random.uniform(k, (8,), dtype=f))(skeys)
+        pk0 = state["k0"]
+        pk1 = state["k1"]
+        if "rng" in _ABLATE:
+            u = [
+                (
+                    (pk0 * np.uint32(2654435761 + 97 * j)
+                     + count.astype(jnp.uint32) * np.uint32(40503 + j))
+                    >> 8
+                ).astype(f) * (1.0 / (1 << 24))
+                for j in range(8)
+            ]
+        else:
+            u = _draw8(pk0, pk1, count.astype(jnp.uint32), f)
 
         def pos3():
             return jnp.stack([px, py, pz], axis=-1)
@@ -744,7 +829,8 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             ldz = R[2, 0] * dxv + R[2, 1] * dyv + R[2, 2] * dzv
             local_frames.append((lox, loy, loz, ldx, ldy, ldz))
             cands = _intersect_node_static(
-                node_static[n][0], GP[n], (lox, loy, loz), (ldx, ldy, ldz), eps
+                node_static[n][0], GP[n].astype(f), (lox, loy, loz),
+                (ldx, ldy, ldz), eps[n],
             )
             cnt_n = jnp.zeros(B, jnp.int32)
             tmin_n = inf
@@ -800,7 +886,12 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             i0 = jnp.clip(posf.astype(jnp.int32), 0, L - 2)
             frac = jnp.clip(posf - i0.astype(f), 0.0, 1.0)
             row = jnp.clip(container, 0, N - 1) * L + i0
-            packed = spec_pack[row]  # [B, 2W] — the one wide gather
+            if "gather" in _ABLATE:
+                packed = jnp.broadcast_to(
+                    spec_pack[0], (B, spec_pack.shape[1])
+                ) + row[:, None].astype(f) * 0.0
+            else:
+                packed = spec_pack[row]  # [B, 2W] — the one wide gather
 
             def slot_interp(w):
                 lo = packed[:, 2 * w]
@@ -822,7 +913,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
 
         depth = jnp.where(
             alpha > ALPHA_ZERO,
-            -jnp.log1p(-u[:, 0]) / jnp.maximum(alpha, 1e-30),
+            -jnp.log1p(-u[0]) / jnp.maximum(alpha, 1e-30),
             _INF,
         )
         absorbed = alive & ~exit_mask & (depth < t0)
@@ -844,7 +935,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
 
         # --- component roulette + radiative branch --------------------
         if has_spectra:
-            target = u[:, 1] * alpha
+            target = u[1] * alpha
             comp_vals = []
             for ns in node_static:
                 K, comp_ids = ns[2], ns[3]
@@ -910,7 +1001,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                 if comp_static[c][0] in (comp.COMP_SCATTERER, comp.COMP_LUMINOPHORE)
             ]
             can_radiate = _member(comp_id, radiative_comps)
-            radiative = absorbed & can_radiate & (u[:, 2] < qy)
+            radiative = absorbed & can_radiate & (u[2] < qy)
 
             # Phase sampling, trig-free, grouped by static phase config
             phase_groups = {}
@@ -920,22 +1011,22 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             ndx = jnp.zeros(B, f)
             ndy = jnp.zeros(B, f)
             ndz = jnp.ones(B, f)
-            phi = 2.0 * np.pi * u[:, 4]
+            phi = 2.0 * np.pi * u[4]
             cphi = jnp.cos(phi)
             sphi = jnp.sin(phi)
             for (ptype, pparam), members in phase_groups.items():
                 if ptype == comp.PHASE_HENYEY_GREENSTEIN and abs(pparam) >= 1e-12:
                     g = pparam
-                    s = 2.0 * u[:, 3] - 1.0
+                    s = 2.0 * u[3] - 1.0
                     mu = (1.0 + g * g - ((1.0 - g * g) / (1.0 + g * s)) ** 2) / (
                         2.0 * g
                     )
                     mu = jnp.clip(mu, -1.0, 1.0)
                 elif ptype == comp.PHASE_CONE:
-                    st = jnp.sqrt(u[:, 3]) * np.sin(pparam)
+                    st = jnp.sqrt(u[3]) * np.sin(pparam)
                     mu = jnp.sqrt(jnp.clip(1.0 - st * st, 0.0, None))
                 else:
-                    mu = 2.0 * u[:, 3] - 1.0
+                    mu = 2.0 * u[3] - 1.0
                 st = jnp.sqrt(jnp.clip(1.0 - mu * mu, 0.0, None))
                 in_group = _member(comp_id, members)
                 ndx = jnp.where(in_group, st * cphi, ndx)
@@ -964,7 +1055,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                             0 if cfg.emit_method == comp.EMIT_KT else 1
                         )
                         p1 = jnp.where(comp_id == c, slot_interp(w), p1)
-                gamma = p1 + (1.0 - p1) * u[:, 5]
+                gamma = p1 + (1.0 - p1) * u[5]
                 lumidx = comp_attr(
                     [max(cs[6], 0) for cs in comp_static], 0.0
                 ).astype(jnp.int32)
@@ -977,11 +1068,16 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                 gposf = gamma * (M - 1)
                 j0 = jnp.clip(gposf.astype(jnp.int32), 0, M - 2)
                 gfrac = gposf - j0.astype(f)
-                prow = icdf_pairs[lumidx * M + j0]  # [B, 2]
+                if "gather" in _ABLATE:
+                    prow = jnp.broadcast_to(icdf_pairs[0], (B, 2)) + (
+                        (lumidx * M + j0)[:, None].astype(f) * 0.0
+                    )
+                else:
+                    prow = icdf_pairs[lumidx * M + j0]  # [B, 2]
                 new_wav = prow[:, 0] + gfrac * (prow[:, 1] - prow[:, 0])
                 tau_rad = comp_attr([cs[2] for cs in comp_static], 0.0)
                 rad_delay = jnp.where(
-                    tau_rad > 0.0, -jnp.log1p(-u[:, 6]) * tau_rad, 0.0
+                    tau_rad > 0.0, -jnp.log1p(-u[6]) * tau_rad, 0.0
                 )
                 wav = jnp.where(emitting, new_wav, wav)
                 dur = jnp.where(emitting, dur + rad_delay, dur)
@@ -1008,7 +1104,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             nonrad = absorbed & ~radiative
             tau_nr = comp_attr([cs[3] for cs in comp_static], 0.0)
             nr_delay = jnp.where(
-                tau_nr > 0.0, -jnp.log1p(-u[:, 6]) * tau_nr, 0.0
+                tau_nr > 0.0, -jnp.log1p(-u[6]) * tau_nr, 0.0
             )
             dur = jnp.where(nonrad, dur + nr_delay, dur)
             reactor_comps = [
@@ -1066,7 +1162,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             lpy = loy + t0 * ldy
             lpz = loz + t0 * ldz
             nx_n, ny_n, nz_n = _local_normal_static(
-                node_static[n][0], GP[n], (lpx, lpy, lpz)
+                node_static[n][0], GP[n].astype(f), (lpx, lpy, lpz)
             )
             Rw = L2W[n]
             wx = Rw[0, 0] * nx_n + Rw[0, 1] * ny_n + Rw[0, 2] * nz_n
@@ -1123,7 +1219,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             )
             r = jnp.where(ovr_mode == OVR_ABSORB, 0.0, r)
 
-        reflecting = surf & (u[:, 7] < r)
+        reflecting = surf & (u[7] < r)
         transmitting = surf & ~reflecting
 
         # Specular reflection about the normal (flipped along the ray)
@@ -1133,9 +1229,9 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         rfz = dzv - two_d * naz
         if any_lambertian:
             # Lambertian about the incidence-side normal (-n_along)
-            st_l = jnp.sqrt(u[:, 3])
-            ct_l = jnp.sqrt(jnp.clip(1.0 - u[:, 3], 0.0, None))
-            phi_l = 2.0 * np.pi * u[:, 4]
+            st_l = jnp.sqrt(u[3])
+            ct_l = jnp.sqrt(jnp.clip(1.0 - u[3], 0.0, None))
+            phi_l = 2.0 * np.pi * u[4]
             lx = st_l * jnp.cos(phi_l)
             ly = st_l * jnp.sin(phi_l)
             # Orthonormal basis around axis = -n_along (branch-free)
@@ -1286,7 +1382,8 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             "alive": alive,
             "count": count,
             "step": step,
-            "keys": state["keys"],
+            "k0": pk0,
+            "k1": pk1,
             "nevents": nevents,
             "slot": slot,
             "log": log,
@@ -1319,11 +1416,10 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             refill = dead & (cand < jnp.asarray(regen_total, jnp.uint32))
             pid = jnp.where(refill, cand, pid)
             nxt = nxt + jnp.sum(refill, dtype=jnp.uint32)
-            new_keys = jax.vmap(
-                lambda i: jax.random.fold_in(regen_base_key, i)
-            )(pid)
+            s0, s1 = _key_words(regen_base_key)
+            nk0, nk1 = _threefry2x32(s0, s1, pid, jnp.zeros_like(pid))
             epos3, edir3, ewav = _device_emit(
-                compiled, cfg, tables, new_keys, pid
+                compiled, cfg, tables, (nk0, nk1), pid
             )
             zero = jnp.zeros(B, f)
             out["px"] = jnp.where(refill, epos3[:, 0], px)
@@ -1338,7 +1434,8 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             out["source"] = jnp.where(refill, -1, source)
             out["count"] = jnp.where(refill, 0, count)
             out["alive"] = alive | refill
-            out["keys"] = new_keys
+            out["k0"] = nk0
+            out["k1"] = nk1
             out["pid"] = pid
             out["next"] = nxt
             if cfg.score:
