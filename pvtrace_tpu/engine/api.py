@@ -316,6 +316,7 @@ def simulate(
     compiled=None,
     lanes="auto",
     score=False,
+    pallas="auto",
 ):
     """Trace `num_rays` through `scene` with the device engine.
 
@@ -365,6 +366,7 @@ def simulate(
         record_every=record_every,
         emit_method=emit_method,
         score=score,
+        use_pallas=pallas,
     )
     if lanes == "auto":
         # 2^19 lanes measured fastest on v5e across 4M-32M photon

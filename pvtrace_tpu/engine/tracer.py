@@ -157,11 +157,12 @@ class TraceConfig(NamedTuple):
     dtype: type
     score: bool = False
     n_comps: int = 0
+    pallas: bool = False
 
 
 def make_config(compiled, n_rays, dtype=np.float32, maxsteps=1000,
                 max_events=128, record_every=1, emit_method="kT",
-                score=False):
+                score=False, use_pallas="auto"):
     if record_every > 0:
         n_slots = (n_rays + record_every - 1) // record_every
     else:
@@ -188,7 +189,29 @@ def make_config(compiled, n_rays, dtype=np.float32, maxsteps=1000,
         dtype=np.dtype(dtype).type,
         score=bool(score),
         n_comps=int(compiled.n_components),
+        pallas=_resolve_pallas(use_pallas, n_slots, score, dtype),
     )
+
+
+def _resolve_pallas(use_pallas, n_slots, score, dtype):
+    """The Pallas step covers the tallies-only f32 fast path; event-log
+    recording and score accumulation stay on the XLA body.
+
+    Status: EXPERIMENTAL, opt-in (`pallas=True`). The hand-fused step
+    kernel is correct (bit-identical to the XLA core in interpret mode,
+    statistically identical on TPU) but measured ~25% slower than the
+    XLA fast body on v5e — Mosaic's scoped-VMEM codegen for this very
+    wide elementwise program (plus the one-hot MXU interpolation
+    replacing unsupported vector gathers) does not yet beat XLA's
+    fusions, and block sizes >= 4096 exceed the 16 MB scoped-VMEM
+    limit. "auto" therefore resolves to False everywhere.
+    """
+    eligible = (
+        n_slots == 0 and not score and np.dtype(dtype) == np.float32
+    )
+    if use_pallas == "auto":
+        return False
+    return bool(use_pallas) and eligible
 
 
 # ----------------------------------------------------------------------
@@ -749,6 +772,648 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
 
     def cond(state):
         return jnp.any(state["alive"])
+
+    # ------------------------------------------------------------------
+    # Shared physics core (fast path: no event log, no score).
+    #
+    # One step of every photon: draws -> next hit -> container -> EXIT /
+    # absorb / re-emit / surface -> new state + per-lane event masks.
+    # Interpolation is injected (`spec_slots_fn`, `icdf_fn`) so the same
+    # code runs as plain XLA (table gathers) and inside the Pallas step
+    # kernel (one-hot MXU matmuls against VMEM-resident tables).
+    # Mirrors the full body below event-for-event; the body additionally
+    # interleaves event-log records and score accumulation.
+
+    maxK = max(ns[2] for ns in node_static) if has_spectra else 0
+    comp_nodes = [n for n in range(N) if node_static[n][2] > 0]
+
+    def physics_core(u, px, py, pz, dxv, dyv, dzv, wav, trav, dur,
+                     source, alive, count, spec_slots_fn, icdf_fn):
+        Bl = px.shape[0]
+        inf = jnp.full(Bl, _INF, f)
+        t1 = inf
+        n1 = jnp.zeros(Bl, jnp.int32)
+        t2 = inf
+        n2 = jnp.zeros(Bl, jnp.int32)
+        nhits = jnp.zeros(Bl, jnp.int32)
+        cont_t = inf
+        cont_n = jnp.zeros(Bl, jnp.int32)
+        local_frames = []
+        for n in range(N):
+            R = W2L[n]
+            lox = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + R[0, 3]
+            loy = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + R[1, 3]
+            loz = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + R[2, 3]
+            ldx = R[0, 0] * dxv + R[0, 1] * dyv + R[0, 2] * dzv
+            ldy = R[1, 0] * dxv + R[1, 1] * dyv + R[1, 2] * dzv
+            ldz = R[2, 0] * dxv + R[2, 1] * dyv + R[2, 2] * dzv
+            local_frames.append((lox, loy, loz, ldx, ldy, ldz))
+            cands = _intersect_node_static(
+                node_static[n][0], GP[n].astype(f), (lox, loy, loz),
+                (ldx, ldy, ldz), eps[n],
+            )
+            cnt_n = jnp.zeros(Bl, jnp.int32)
+            tmin_n = inf
+            for t, valid in cands:
+                tv = jnp.where(valid, t, _INF)
+                cnt_n = cnt_n + valid.astype(jnp.int32)
+                tmin_n = jnp.minimum(tmin_n, tv)
+                isfirst = tv < t1
+                issecond = ~isfirst & (tv < t2)
+                t2 = jnp.where(isfirst, t1, jnp.where(issecond, tv, t2))
+                n2 = jnp.where(isfirst, n1, jnp.where(issecond, n, n2))
+                t1 = jnp.where(isfirst, tv, t1)
+                n1 = jnp.where(isfirst, n, n1)
+            nhits = nhits + cnt_n
+            is_cand = (cnt_n == 1) & (tmin_n < cont_t)
+            cont_t = jnp.where(is_cand, tmin_n, cont_t)
+            cont_n = jnp.where(is_cand, n, cont_n)
+
+        no_hit = nhits == 0
+        hit = n1
+        t0 = t1
+        container = jnp.where(jnp.isfinite(cont_t), cont_n, hit)
+        adjacent = jnp.where(container == hit, n2, hit)
+        container = jnp.where(nhits == 1, hit, container)
+        adjacent = jnp.where(nhits == 1, -1, adjacent)
+
+        no_hit_term = alive & no_hit
+        alive = alive & ~no_hit
+
+        kill_max = alive & (count > cfg.maxsteps)
+        alive = alive & ~kill_max
+
+        n_cont = _select(container, NIDX, jnp.full(Bl, 1.0, f))
+        exit_mask = alive & (hit == cfg.root_id)
+
+        if has_spectra:
+            posf = (wav - cfg.grid_x0) / cfg.grid_dx
+            i0 = jnp.clip(posf.astype(jnp.int32), 0, L - 2)
+            frac = jnp.clip(posf - i0.astype(f), 0.0, 1.0)
+            slot_vals = spec_slots_fn(container, i0, frac)
+            cums = slot_vals
+            alpha = _select(
+                container,
+                [
+                    cums[ns[2] - 1] if ns[2] > 0 else jnp.zeros(Bl, f)
+                    for ns in node_static
+                ],
+                jnp.zeros(Bl, f),
+            )
+        else:
+            alpha = jnp.zeros(Bl, f)
+
+        depth = jnp.where(
+            alpha > ALPHA_ZERO,
+            -jnp.log1p(-u[0]) / jnp.maximum(alpha, 1e-30),
+            _INF,
+        )
+        absorbed = alive & ~exit_mask & (depth < t0)
+
+        advance = jnp.where(absorbed, depth, t0)
+        px = jnp.where(alive, px + dxv * advance, px)
+        py = jnp.where(alive, py + dyv * advance, py)
+        pz = jnp.where(alive, pz + dzv * advance, pz)
+        trav = jnp.where(alive, trav + advance, trav)
+        dur = jnp.where(alive, dur + advance * n_cont / C_CM_PER_S, dur)
+
+        if has_spectra:
+            target = u[1] * alpha
+            comp_vals = []
+            for ns in node_static:
+                K, comp_ids = ns[2], ns[3]
+                if K == 0:
+                    comp_vals.append(jnp.full(Bl, -1, jnp.int32))
+                    continue
+                ordinal = jnp.zeros(Bl, jnp.int32)
+                for k in range(K - 1):
+                    ordinal = ordinal + (cums[k] < target).astype(jnp.int32)
+                cid = jnp.full(Bl, comp_ids[K - 1], jnp.int32)
+                for k in range(K - 1):
+                    cid = jnp.where(ordinal == k, comp_ids[k], cid)
+                comp_vals.append(cid)
+            comp_id = _select(
+                container, comp_vals, jnp.full(Bl, -1, jnp.int32)
+            )
+
+            def comp_attr(values, init):
+                acc = jnp.full(Bl, init, f)
+                for c in range(n_comps):
+                    acc = jnp.where(comp_id == c, values[c], acc)
+                return acc
+
+            qy = comp_attr([cs[1] for cs in comp_static], 0.0)
+            radiative_comps = [
+                c for c in range(n_comps)
+                if comp_static[c][0] in (comp.COMP_SCATTERER,
+                                         comp.COMP_LUMINOPHORE)
+            ]
+            can_radiate = _member(comp_id, radiative_comps)
+            radiative = absorbed & can_radiate & (u[2] < qy)
+
+            phase_groups = {}
+            for c in radiative_comps:
+                keyg = (comp_static[c][4], comp_static[c][5])
+                phase_groups.setdefault(keyg, []).append(c)
+            ndx = jnp.zeros(Bl, f)
+            ndy = jnp.zeros(Bl, f)
+            ndz = jnp.ones(Bl, f)
+            phi = 2.0 * np.pi * u[4]
+            cphi = jnp.cos(phi)
+            sphi = jnp.sin(phi)
+            for (ptype, pparam), members in phase_groups.items():
+                if ptype == comp.PHASE_HENYEY_GREENSTEIN and abs(pparam) >= 1e-12:
+                    g = pparam
+                    s = 2.0 * u[3] - 1.0
+                    mu = (
+                        1.0 + g * g - ((1.0 - g * g) / (1.0 + g * s)) ** 2
+                    ) / (2.0 * g)
+                    mu = jnp.clip(mu, -1.0, 1.0)
+                elif ptype == comp.PHASE_CONE:
+                    st = jnp.sqrt(u[3]) * np.sin(pparam)
+                    mu = jnp.sqrt(jnp.clip(1.0 - st * st, 0.0, None))
+                else:
+                    mu = 2.0 * u[3] - 1.0
+                st = jnp.sqrt(jnp.clip(1.0 - mu * mu, 0.0, None))
+                in_group = _member(comp_id, members)
+                ndx = jnp.where(in_group, st * cphi, ndx)
+                ndy = jnp.where(in_group, st * sphi, ndy)
+                ndz = jnp.where(in_group, mu, ndz)
+
+            lum_comps = [
+                c for c in range(n_comps)
+                if comp_static[c][0] == comp.COMP_LUMINOPHORE
+            ]
+            is_lum = _member(comp_id, lum_comps)
+            emitting = radiative & is_lum
+
+            if cfg.n_lum > 0:
+                if cfg.emit_method == comp.EMIT_FULL:
+                    p1 = jnp.zeros(Bl, f)
+                else:
+                    p1 = jnp.zeros(Bl, f)
+                    for c in lum_comps:
+                        K_n, j = comp_node_info[c]
+                        w = K_n + 2 * j + (
+                            0 if cfg.emit_method == comp.EMIT_KT else 1
+                        )
+                        p1 = jnp.where(comp_id == c, slot_vals[w], p1)
+                gamma = p1 + (1.0 - p1) * u[5]
+                lumidx = comp_attr(
+                    [max(cs[6], 0) for cs in comp_static], 0.0
+                ).astype(jnp.int32)
+                new_wav = icdf_fn(lumidx, gamma)
+                tau_rad = comp_attr([cs[2] for cs in comp_static], 0.0)
+                rad_delay = jnp.where(
+                    tau_rad > 0.0, -jnp.log1p(-u[6]) * tau_rad, 0.0
+                )
+                wav = jnp.where(emitting, new_wav, wav)
+                dur = jnp.where(emitting, dur + rad_delay, dur)
+
+            dxv = jnp.where(radiative, ndx, dxv)
+            dyv = jnp.where(radiative, ndy, dyv)
+            dzv = jnp.where(radiative, ndz, dzv)
+            source = jnp.where(radiative, comp_id, source)
+
+            nonrad = absorbed & ~radiative
+            tau_nr = comp_attr([cs[3] for cs in comp_static], 0.0)
+            nr_delay = jnp.where(
+                tau_nr > 0.0, -jnp.log1p(-u[6]) * tau_nr, 0.0
+            )
+            dur = jnp.where(nonrad, dur + nr_delay, dur)
+            reactor_comps = [
+                c for c in range(n_comps)
+                if comp_static[c][0] == comp.COMP_REACTOR
+            ]
+            reacting = nonrad & _member(comp_id, reactor_comps)
+            losing = nonrad & ~reacting
+        else:
+            comp_id = jnp.full(Bl, -1, jnp.int32)
+            nonrad = jnp.zeros(Bl, dtype=bool)
+            reacting = losing = nonrad
+
+        # --- surface interaction --------------------------------------
+        surf = alive & ~exit_mask & ~absorbed
+        adj_bad = surf & (adjacent < 0)
+        surf = surf & ~adj_bad
+
+        lnx = jnp.zeros(Bl, f)
+        lny = jnp.zeros(Bl, f)
+        lnz = jnp.ones(Bl, f)
+        wnx = jnp.zeros(Bl, f)
+        wny = jnp.zeros(Bl, f)
+        wnz = jnp.ones(Bl, f)
+        ovr_mode = None
+        for n in range(N):
+            lox, loy, loz, ldx, ldy, ldz = local_frames[n]
+            lpx = lox + t0 * ldx
+            lpy = loy + t0 * ldy
+            lpz = loz + t0 * ldz
+            nx_n, ny_n, nz_n = _local_normal_static(
+                node_static[n][0], GP[n].astype(f), (lpx, lpy, lpz)
+            )
+            Rw = L2W[n]
+            wx = Rw[0, 0] * nx_n + Rw[0, 1] * ny_n + Rw[0, 2] * nz_n
+            wy = Rw[1, 0] * nx_n + Rw[1, 1] * ny_n + Rw[1, 2] * nz_n
+            wz = Rw[2, 0] * nx_n + Rw[2, 1] * ny_n + Rw[2, 2] * nz_n
+            here = hit == n
+            lnx = jnp.where(here, nx_n, lnx)
+            lny = jnp.where(here, ny_n, lny)
+            lnz = jnp.where(here, nz_n, lnz)
+            wnx = jnp.where(here, wx, wnx)
+            wny = jnp.where(here, wy, wny)
+            wnz = jnp.where(here, wz, wnz)
+            if node_static[n][5]:
+                mode_n = jnp.full(Bl, comp.OVR_NONE, jnp.int32)
+                for (mode, (ox0, oy0, oz0), atol) in node_static[n][5]:
+                    matchf = (
+                        (jnp.abs(nx_n - ox0) <= atol)
+                        & (jnp.abs(ny_n - oy0) <= atol)
+                        & (jnp.abs(nz_n - oz0) <= atol)
+                    )
+                    mode_n = jnp.where((mode_n < 0) & matchf, mode, mode_n)
+                if ovr_mode is None:
+                    ovr_mode = jnp.full(Bl, comp.OVR_NONE, jnp.int32)
+                ovr_mode = jnp.where(here, mode_n, ovr_mode)
+        if ovr_mode is None:
+            ovr_mode = jnp.full(Bl, comp.OVR_NONE, jnp.int32)
+
+        ddot = wnx * dxv + wny * dyv + wnz * dzv
+        c_in = jnp.clip(jnp.abs(ddot), 0.0, 1.0)
+        flip = jnp.where(ddot < 0.0, -1.0, 1.0)
+        nax = wnx * flip
+        nay = wny * flip
+        naz = wnz * flip
+
+        n1r = n_cont
+        n2r = _select(adjacent, NIDX, jnp.full(Bl, 1.0, f))
+        is_fresnel = _member(hit, fresnel_nodes)
+
+        s2 = jnp.clip(1.0 - c_in * c_in, 0.0, 1.0)
+        ratio = n1r / n2r
+        tir = (n2r < n1r) & (s2 * ratio * ratio > 1.0)
+        under = jnp.clip(1.0 - ratio * ratio * s2, 0.0, None)
+        kterm = jnp.sqrt(under)
+        rs = ((n1r * c_in - n2r * kterm) / (n1r * c_in + n2r * kterm)) ** 2
+        rp = ((n1r * kterm - n2r * c_in) / (n1r * kterm + n2r * c_in)) ** 2
+        r = jnp.where(tir, 1.0, jnp.clip(0.5 * (rs + rp), 0.0, 1.0))
+        r = jnp.where(is_fresnel, r, 0.0)
+        if any_overrides:
+            r = jnp.where(
+                (ovr_mode == OVR_MIRROR) | (ovr_mode == OVR_LAMBERTIAN),
+                1.0, r,
+            )
+            r = jnp.where(ovr_mode == OVR_ABSORB, 0.0, r)
+
+        reflecting = surf & (u[7] < r)
+        transmitting = surf & ~reflecting
+
+        two_d = 2.0 * c_in
+        rfx = dxv - two_d * nax
+        rfy = dyv - two_d * nay
+        rfz = dzv - two_d * naz
+        if any_lambertian:
+            st_l = jnp.sqrt(u[3])
+            ct_l = jnp.sqrt(jnp.clip(1.0 - u[3], 0.0, None))
+            phi_l = 2.0 * np.pi * u[4]
+            lx = st_l * jnp.cos(phi_l)
+            ly = st_l * jnp.sin(phi_l)
+            axx, axy, axz = -nax, -nay, -naz
+            sign = jnp.where(axz >= 0.0, 1.0, -1.0)
+            a_ = -1.0 / (sign + axz)
+            b_ = axx * axy * a_
+            t1x = 1.0 + sign * axx * axx * a_
+            t1y = sign * b_
+            t1z = -sign * axx
+            t2x = b_
+            t2y = sign + axy * axy * a_
+            t2z = -axy
+            lamx = lx * t1x + ly * t2x + ct_l * axx
+            lamy = lx * t1y + ly * t2y + ct_l * axy
+            lamz = lx * t1z + ly * t2z + ct_l * axz
+            lam_mask = ovr_mode == OVR_LAMBERTIAN
+            rfx = jnp.where(lam_mask, lamx, rfx)
+            rfy = jnp.where(lam_mask, lamy, rfy)
+            rfz = jnp.where(lam_mask, lamz, rfz)
+
+        cterm = jnp.sqrt(
+            jnp.clip(1.0 - ratio * ratio * (1.0 - c_in * c_in), 0.0, None)
+        )
+        scale = cterm - ratio * c_in
+        txd = ratio * dxv + scale * nax
+        tyd = ratio * dyv + scale * nay
+        tzd = ratio * dzv + scale * naz
+        pass_through = ~is_fresnel
+        if any_overrides:
+            pass_through = pass_through | (ovr_mode == OVR_ABSORB)
+        txd = jnp.where(pass_through, dxv, txd)
+        tyd = jnp.where(pass_through, dyv, tyd)
+        tzd = jnp.where(pass_through, dzv, tzd)
+
+        dxv = jnp.where(reflecting, rfx, jnp.where(transmitting, txd, dxv))
+        dyv = jnp.where(reflecting, rfy, jnp.where(transmitting, tyd, dyv))
+        dzv = jnp.where(reflecting, rfz, jnp.where(transmitting, tzd, dzv))
+
+        # Recorder selectors (same mapping as the tally section below)
+        sel = jnp.full(Bl, SEL_NONE, jnp.int32)
+        tnode = jnp.full(Bl, -1, jnp.int32)
+        have_n = jnp.zeros(Bl, dtype=bool)
+        if cfg.n_recorders > 0:
+            sel = jnp.where(kill_max, REC_KILLED, sel)
+            tnode = jnp.where(kill_max, container, tnode)
+            sel = jnp.where(exit_mask, REC_EXIT, sel)
+            tnode = jnp.where(exit_mask, hit, tnode)
+            have_n = have_n | exit_mask
+            sel = jnp.where(reacting, REC_REACTED, sel)
+            sel = jnp.where(losing, REC_LOST, sel)
+            tnode = jnp.where(reacting | losing, container, tnode)
+            refl_tally = reflecting & (container != hit)
+            sel = jnp.where(refl_tally, REC_REFLECTED, sel)
+            tnode = jnp.where(refl_tally, hit, tnode)
+            have_n = have_n | refl_tally
+            sel = jnp.where(
+                transmitting,
+                jnp.where(container == hit, REC_ESCAPING, REC_ENTERING),
+                sel,
+            )
+            tnode = jnp.where(transmitting, hit, tnode)
+            have_n = have_n | transmitting
+
+        alive = alive & ~exit_mask & ~nonrad
+        return {
+            "px": px, "py": py, "pz": pz,
+            "dx": dxv, "dy": dyv, "dz": dzv,
+            "wav": wav, "trav": trav, "dur": dur,
+            "source": source, "alive": alive, "count": count,
+            "exit_mask": exit_mask, "losing": losing,
+            "reacting": reacting, "kills": kill_max | adj_bad,
+            "no_hit_term": no_hit_term,
+            "sel": sel, "tnode": tnode, "have_n": have_n,
+            "wnx": wnx, "wny": wny, "wnz": wnz, "c_in": c_in,
+            "surface_event": exit_mask | reflecting | transmitting,
+        }
+
+    # -- interpolation callbacks ----------------------------------------
+
+    def spec_slots_gather(container, i0, frac):
+        row = jnp.clip(container, 0, N - 1) * L + i0
+        packed = spec_pack[row]  # [Bl, 2W] — the one wide gather
+        return [
+            packed[:, 2 * w]
+            + frac * (packed[:, 2 * w + 1] - packed[:, 2 * w])
+            for w in range(compiled.pack_width)
+        ]
+
+    def icdf_gather(lumidx, gamma):
+        gposf = gamma * (M - 1)
+        j0 = jnp.clip(gposf.astype(jnp.int32), 0, M - 2)
+        gfrac = gposf - j0.astype(f)
+        prow = icdf_pairs[lumidx * M + j0]  # [Bl, 2]
+        return prow[:, 0] + gfrac * (prow[:, 1] - prow[:, 0])
+
+    def make_matmul_interps(spec_vals_ref, icdf_vals_ref):
+        """Gather-free interpolation for the Pallas kernel: one-hot
+        interpolation weights hit the MXU against VMEM-resident value
+        tables (Mosaic has no vectorized int gather). All but two
+        weights per lane are exactly zero, so the result matches the
+        gather+lerp formulation."""
+
+        def spec_slots(container, i0, frac):
+            Bl = container.shape[0]
+            cols = jax.lax.broadcasted_iota(jnp.int32, (Bl, L), 1)
+            wmat = (
+                (cols == i0[:, None]).astype(f) * (1.0 - frac)[:, None]
+                + (cols == (i0 + 1)[:, None]).astype(f) * frac[:, None]
+            )
+            per_node = {}
+            for n in comp_nodes:
+                vals = spec_vals_ref[n * L:(n + 1) * L, :]  # [L, W]
+                per_node[n] = jnp.dot(
+                    wmat, vals, preferred_element_type=jnp.float32
+                ).astype(f)
+            out = []
+            for w in range(compiled.pack_width):
+                acc = jnp.zeros(Bl, f)
+                for n in comp_nodes:
+                    acc = jnp.where(container == n, per_node[n][:, w], acc)
+                out.append(acc)
+            return out
+
+        def icdf_interp(lumidx, gamma):
+            Bl = gamma.shape[0]
+            gposf = gamma * (M - 1)
+            j0 = jnp.clip(gposf.astype(jnp.int32), 0, M - 2)
+            gfrac = gposf - j0.astype(f)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (Bl, M), 1)
+            wmat = (
+                (cols == j0[:, None]).astype(f) * (1.0 - gfrac)[:, None]
+                + (cols == (j0 + 1)[:, None]).astype(f) * gfrac[:, None]
+            )
+            allv = jnp.dot(
+                wmat, icdf_vals_ref[:], preferred_element_type=jnp.float32
+            ).astype(f)  # [Bl, n_lum]
+            return _select(
+                lumidx,
+                [allv[:, l] for l in range(max(cfg.n_lum, 1))],
+                jnp.zeros(Bl, f),
+            )
+
+        return spec_slots, icdf_interp
+
+    # -- Pallas step kernel ----------------------------------------------
+
+    _CORE_KEYS = (
+        "px", "py", "pz", "dx", "dy", "dz", "wav", "trav", "dur",
+        "source", "alive", "count",
+        "exit_mask", "losing", "reacting", "kills", "no_hit_term",
+        "sel", "tnode", "have_n", "wnx", "wny", "wnz", "c_in",
+        "surface_event",
+    )
+    _CORE_DTYPES = {
+        "source": jnp.int32, "alive": jnp.bool_, "count": jnp.int32,
+        "exit_mask": jnp.bool_, "losing": jnp.bool_,
+        "reacting": jnp.bool_, "kills": jnp.bool_,
+        "no_hit_term": jnp.bool_, "sel": jnp.int32, "tnode": jnp.int32,
+        "have_n": jnp.bool_, "surface_event": jnp.bool_,
+    }
+
+    def build_pallas_step(blk):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        n_tables = (1 if has_spectra else 0) + (1 if cfg.n_lum > 0 else 0)
+
+        def kernel(*refs):
+            tabs = refs[:n_tables]
+            ti = 0
+            spec_vals_ref = tabs[ti] if has_spectra else None
+            ti += 1 if has_spectra else 0
+            icdf_vals_ref = tabs[ti] if cfg.n_lum > 0 else None
+            ins = refs[n_tables:n_tables + 14]
+            outs = refs[n_tables + 14:]
+            (pxr, pyr, pzr, dxr, dyr, dzr, wavr, travr, durr,
+             sourcer, aliver, countr, k0r, k1r) = ins
+            alive_in = aliver[:]
+            count_in = countr[:] + alive_in.astype(jnp.int32)
+            u = _draw8(k0r[:], k1r[:], count_in.astype(jnp.uint32), f)
+            spec_slots, icdf_interp = make_matmul_interps(
+                spec_vals_ref, icdf_vals_ref
+            )
+            result = physics_core(
+                u, pxr[:], pyr[:], pzr[:], dxr[:], dyr[:], dzr[:],
+                wavr[:], travr[:], durr[:], sourcer[:], alive_in,
+                count_in, spec_slots, icdf_interp,
+            )
+            for key, ref in zip(_CORE_KEYS, outs):
+                ref[:] = result[key].astype(ref.dtype)
+
+        blocked = pl.BlockSpec((blk,), lambda i: (i,),
+                               memory_space=pltpu.VMEM)
+        table_specs = []
+        if has_spectra:
+            table_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        if cfg.n_lum > 0:
+            table_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        out_shapes = [
+            jax.ShapeDtypeStruct((B,), _CORE_DTYPES.get(key, f))
+            for key in _CORE_KEYS
+        ]
+        import jax as _jax
+
+        interpret = _jax.default_backend() != "tpu"
+        fn = pl.pallas_call(
+            kernel,
+            grid=(B // blk,),
+            in_specs=table_specs + [blocked] * 14,
+            out_specs=[blocked] * len(_CORE_KEYS),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )
+        return fn
+
+    def pallas_block_size():
+        preferred = int(os.environ.get("PVTRACE_TPU_BLK", "1024"))
+        for blk in (preferred, 2048, 1024, 512, 256, 128):
+            if B % blk == 0:
+                return blk
+        return None
+
+    def body_fast(state, step_fn):
+        """Fast-path body: physics via `step_fn` (Pallas kernel or the
+        XLA physics_core), then shared tallies + regeneration. Requires
+        cfg.n_slots == 0 and not cfg.score."""
+        tallies = state["tallies"]
+        step = state["step"] + 1
+        result = step_fn(state)
+
+        fates = tallies["fates"]
+        for mask, fid in (
+            (result["exit_mask"], EV_EXIT),
+            (result["losing"], EV_NONRADIATIVE),
+            (result["reacting"], EV_REACT),
+            (result["kills"], EV_KILL),
+        ):
+            fates = fates.at[fid].add(jnp.sum(mask, dtype=jnp.int32))
+        fates = fates.at[FATE_NO_HIT].add(
+            jnp.sum(result["no_hit_term"], dtype=jnp.int32)
+        )
+
+        px, py, pz = result["px"], result["py"], result["pz"]
+        wav, trav, dur = result["wav"], result["trav"], result["dur"]
+        alive = result["alive"]
+
+        if cfg.n_recorders > 0:
+            sel = result["sel"]
+            tnode = result["tnode"]
+            angle = jnp.where(
+                result["surface_event"], jnp.arccos(result["c_in"]), 0.0
+            )
+            tlx = jnp.zeros(B, f)
+            tly = jnp.zeros(B, f)
+            tlz = jnp.zeros(B, f)
+            for n in range(N):
+                R = W2L[n]
+                here = tnode == n
+                tlx = jnp.where(
+                    here,
+                    R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + R[0, 3],
+                    tlx,
+                )
+                tly = jnp.where(
+                    here,
+                    R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + R[1, 3],
+                    tly,
+                )
+                tlz = jnp.where(
+                    here,
+                    R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + R[2, 3],
+                    tlz,
+                )
+            new_tallies = _tally(
+                tallies, compiled, cfg, sel, tnode, result["have_n"],
+                (result["wnx"], result["wny"], result["wnz"]),
+                (tlx, tly, tlz), angle, wav, trav, dur,
+            )
+            new_tallies["fates"] = fates
+            tallies = new_tallies
+        else:
+            tallies = dict(tallies)
+            tallies["fates"] = fates
+
+        out = {
+            "px": px, "py": py, "pz": pz,
+            "dx": result["dx"], "dy": result["dy"], "dz": result["dz"],
+            "wav": wav, "trav": trav, "dur": dur,
+            "source": result["source"],
+            "alive": alive,
+            "count": result["count"],
+            "step": step,
+            "k0": state["k0"],
+            "k1": state["k1"],
+            "nevents": state["nevents"],
+            "slot": state["slot"],
+            "log": state["log"],
+            "tallies": tallies,
+        }
+
+        if regen is not None:
+            pid = state["pid"]
+            nxt = state["next"]
+            dead = ~alive
+            ranks = jnp.cumsum(dead.astype(jnp.uint32)) - jnp.uint32(1)
+            cand = nxt + ranks
+            refill = dead & (cand < jnp.asarray(regen_total, jnp.uint32))
+            pid = jnp.where(refill, cand, pid)
+            nxt = nxt + jnp.sum(refill, dtype=jnp.uint32)
+            s0, s1 = _key_words(regen_base_key)
+            nk0, nk1 = _threefry2x32(s0, s1, pid, jnp.zeros_like(pid))
+            epos3, edir3, ewav = _device_emit(
+                compiled, cfg, tables, (nk0, nk1), pid
+            )
+            zero = jnp.zeros(B, f)
+            out["px"] = jnp.where(refill, epos3[:, 0], px)
+            out["py"] = jnp.where(refill, epos3[:, 1], py)
+            out["pz"] = jnp.where(refill, epos3[:, 2], pz)
+            out["dx"] = jnp.where(refill, edir3[:, 0], result["dx"])
+            out["dy"] = jnp.where(refill, edir3[:, 1], result["dy"])
+            out["dz"] = jnp.where(refill, edir3[:, 2], result["dz"])
+            out["wav"] = jnp.where(refill, ewav, wav)
+            out["trav"] = jnp.where(refill, zero, trav)
+            out["dur"] = jnp.where(refill, zero, dur)
+            out["source"] = jnp.where(refill, -1, result["source"])
+            out["count"] = jnp.where(refill, 0, result["count"])
+            out["alive"] = alive | refill
+            out["k0"] = nk0
+            out["k1"] = nk1
+            out["pid"] = pid
+            out["next"] = nxt
+            tallies = dict(tallies)
+            tallies["seen"] = jnp.where(
+                refill[:, None], False, tallies["seen"]
+            )
+            out["tallies"] = tallies
+
+        return out
 
     def body(state):
         px, py, pz = state["px"], state["py"], state["pz"]
@@ -1468,7 +2133,55 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
 
         return out
 
-    state = jax.lax.while_loop(cond, body, state)
+    fast_ok = cfg.n_slots == 0 and not cfg.score and not _ABLATE
+    if fast_ok:
+        blk = pallas_block_size()
+        if cfg.pallas and blk is not None:
+            kernel_fn = build_pallas_step(blk)
+            table_args = []
+            if has_spectra:
+                # Even columns of the packed pairs are the per-grid
+                # values; the kernel interpolates them directly.
+                table_args.append(spec_pack[:, 0::2].astype(jnp.float32))
+            if cfg.n_lum > 0:
+                table_args.append(
+                    icdf_pairs[:, 0]
+                    .reshape(max(cfg.n_lum, 1), M)
+                    .T.astype(jnp.float32)
+                )
+
+            def step_fn(state):
+                outs = kernel_fn(
+                    *table_args,
+                    state["px"], state["py"], state["pz"],
+                    state["dx"], state["dy"], state["dz"],
+                    state["wav"], state["trav"], state["dur"],
+                    state["source"], state["alive"], state["count"],
+                    state["k0"], state["k1"],
+                )
+                return dict(zip(_CORE_KEYS, outs))
+
+        else:
+
+            def step_fn(state):
+                alive = state["alive"]
+                count = state["count"] + alive.astype(jnp.int32)
+                u = _draw8(
+                    state["k0"], state["k1"], count.astype(jnp.uint32), f
+                )
+                return physics_core(
+                    u, state["px"], state["py"], state["pz"],
+                    state["dx"], state["dy"], state["dz"],
+                    state["wav"], state["trav"], state["dur"],
+                    state["source"], alive, count,
+                    spec_slots_gather, icdf_gather,
+                )
+
+        loop_body = lambda s: body_fast(s, step_fn)  # noqa: E731
+    else:
+        loop_body = body
+
+    state = jax.lax.while_loop(cond, loop_body, state)
 
     # Per-slot event counts from the log itself (a lane's slot changes
     # over time under regeneration, so the final per-lane nevents is
