@@ -14,15 +14,23 @@ numpy tables for a Cython kernel) — re-designed for TPU execution:
   lambertian mirror), so LSC-style scenes compile instead of falling
   back to the per-ray tracer.
 
-Scenes with Mesh geometry, unrecognised surface delegates, custom phase
-functions or histogram-sampled spectra raise ``UnsupportedSceneError``
-so callers can fall back to ``pvtrace_tpu.algorithm.photon_tracer``.
+* Triangle **meshes compile too** (the reference engine rejects them,
+  ``engine/compiler.py:53``): per-node (v0, e1, e2, face-normal) tables
+  are baked as constants and the tracer intersects them with a
+  fixed-trip Möller–Trumbore loop. Grazing shared-edge hits may count
+  twice (the per-ray oracle dedups them); for Monte-Carlo rays this is
+  a measure-zero event and at worst kills the photon auditably.
+
+Scenes with unrecognised surface delegates, custom phase functions or
+histogram-sampled spectra raise ``UnsupportedSceneError`` so callers
+can fall back to ``pvtrace_tpu.algorithm.photon_tracer``.
 """
 import numpy as np
 
 from pvtrace_tpu.engine.recorder import EVENTS, PROPERTIES, Heatmap, Recorder
 from pvtrace_tpu.geometry.box import Box
 from pvtrace_tpu.geometry.cylinder import Cylinder
+from pvtrace_tpu.geometry.mesh import Mesh
 from pvtrace_tpu.geometry.sphere import Sphere
 from pvtrace_tpu.material.component import Absorber, Luminophore, Reactor, Scatterer
 from pvtrace_tpu.material.surface import (
@@ -37,6 +45,7 @@ VOLUME_EVENTS = {"lost", "reacted", "killed"}
 MAX_RECORDERS = 256
 
 # Geometry type tags
+GEOM_MESH = 3
 GEOM_BOX = 0
 GEOM_SPHERE = 1
 GEOM_CYLINDER = 2
@@ -92,6 +101,7 @@ class CompiledScene:
 
         self.geom_type = np.zeros(n, dtype=np.int32)
         self.geom_params = np.zeros((n, 4), dtype=np.float64)
+        self.mesh_data = {}  # node index -> (v0, e1, e2, normals) [T, 3]
         self.local_to_world = np.zeros((n, 4, 4), dtype=np.float64)
         self.world_to_local = np.zeros((n, 4, 4), dtype=np.float64)
         self.refractive_index = np.zeros(n, dtype=np.float64)
@@ -327,6 +337,9 @@ class CompiledScene:
                 extents.append(np.max(self.geom_params[i, :3]))
             elif self.geom_type[i] == GEOM_SPHERE:
                 extents.append(self.geom_params[i, 0])
+            elif self.geom_type[i] == GEOM_MESH:
+                v0 = self.mesh_data[i][0]
+                extents.append(2.0 * float(np.max(np.abs(v0))) + 1e-9)
             else:
                 extents.append(max(self.geom_params[i, 0], self.geom_params[i, 1]))
         self.scene_extent = float(max(extents))
@@ -354,6 +367,9 @@ class CompiledScene:
             self.rec_atol,
         ):
             h.update(np.ascontiguousarray(arr).tobytes())
+        for i in sorted(self.mesh_data):
+            for arr in self.mesh_data[i]:
+                h.update(np.ascontiguousarray(arr).tobytes())
         h.update(
             repr(
                 (
@@ -478,7 +494,16 @@ class CompiledScene:
     # -- pieces --------------------------------------------------------
 
     def _compile_geometry(self, i, geometry):
-        if isinstance(geometry, Box):
+        if isinstance(geometry, Mesh):
+            self.geom_type[i] = GEOM_MESH
+            # (v0, e1, e2, outward face normal) per triangle, local frame
+            self.mesh_data[i] = (
+                np.asarray(geometry._v0, dtype=np.float64),
+                np.asarray(geometry._e1, dtype=np.float64),
+                np.asarray(geometry._e2, dtype=np.float64),
+                np.asarray(geometry._face_normals, dtype=np.float64),
+            )
+        elif isinstance(geometry, Box):
             self.geom_type[i] = GEOM_BOX
             self.geom_params[i, :3] = np.asarray(geometry._size, dtype=np.float64)
         elif isinstance(geometry, Sphere):

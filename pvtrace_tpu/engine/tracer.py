@@ -302,6 +302,63 @@ def _intersect_node_static(gtype, params, o, d, eps):
     return out
 
 
+def _mesh_nearest_two(mesh_consts, o, d, eps):
+    """Nearest-two forward hits of a triangle mesh for every lane.
+
+    Möller–Trumbore over a fixed-trip `fori_loop` (runtime O(T), graph
+    O(1)); mirrors the per-ray oracle's tolerances
+    (geometry/mesh.py:107-126). Returns (t1, t2, count, first-hit
+    face normal) — unlike the oracle there is no shared-edge hit
+    dedup, a measure-zero event for Monte-Carlo rays.
+    """
+    V0, E1, E2, FN = mesh_consts
+    ox, oy, oz = o
+    dxv, dyv, dzv = d
+    T = V0.shape[0]
+    inf = jnp.full_like(ox, _INF)
+
+    def tri(t, carry):
+        t1, t2, cnt, nx, ny, nz = carry
+        a0, a1, a2 = V0[t, 0], V0[t, 1], V0[t, 2]
+        e10, e11, e12 = E1[t, 0], E1[t, 1], E1[t, 2]
+        e20, e21, e22 = E2[t, 0], E2[t, 1], E2[t, 2]
+        pvx = dyv * e22 - dzv * e21
+        pvy = dzv * e20 - dxv * e22
+        pvz = dxv * e21 - dyv * e20
+        det = e10 * pvx + e11 * pvy + e12 * pvz
+        ok = jnp.abs(det) > 1e-14
+        inv = 1.0 / jnp.where(ok, det, 1.0)
+        tvx = ox - a0
+        tvy = oy - a1
+        tvz = oz - a2
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        qvx = tvy * e12 - tvz * e11
+        qvy = tvz * e10 - tvx * e12
+        qvz = tvx * e11 - tvy * e10
+        v = (dxv * qvx + dyv * qvy + dzv * qvz) * inv
+        th = (e20 * qvx + e21 * qvy + e22 * qvz) * inv
+        hit = (
+            ok & (u >= -1e-12) & (v >= -1e-12)
+            & (u + v <= 1.0 + 1e-12) & (th > eps)
+        )
+        tv = jnp.where(hit, th, _INF)
+        isfirst = tv < t1
+        issecond = ~isfirst & (tv < t2)
+        t2 = jnp.where(isfirst, t1, jnp.where(issecond, tv, t2))
+        nx = jnp.where(isfirst, FN[t, 0], nx)
+        ny = jnp.where(isfirst, FN[t, 1], ny)
+        nz = jnp.where(isfirst, FN[t, 2], nz)
+        t1 = jnp.where(isfirst, tv, t1)
+        cnt = cnt + hit.astype(jnp.int32)
+        return (t1, t2, cnt, nx, ny, nz)
+
+    init = (
+        inf, inf, jnp.zeros(ox.shape, jnp.int32),
+        jnp.zeros_like(ox), jnp.zeros_like(ox), jnp.ones_like(ox),
+    )
+    return jax.lax.fori_loop(0, T, tri, init)
+
+
 def _local_normal_static(gtype, params, p):
     """Outward local normal triple at local point triple `p` for a
     static geometry (kernel local_normal, _kernel.pyx:359-400)."""
@@ -786,6 +843,12 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
 
     maxK = max(ns[2] for ns in node_static) if has_spectra else 0
     comp_nodes = [n for n in range(N) if node_static[n][2] > 0]
+    # Triangle tables baked as program constants (meshes here are small;
+    # reference docs note trimesh is single-precision anyway)
+    mesh_consts = {
+        n: tuple(jnp.asarray(a, f) for a in compiled.mesh_data[n])
+        for n in compiled.mesh_data
+    }
 
     def physics_core(u, px, py, pz, dxv, dyv, dzv, wav, trav, dur,
                      source, alive, count, spec_slots_fn, icdf_fn):
@@ -799,6 +862,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         cont_t = inf
         cont_n = jnp.zeros(Bl, jnp.int32)
         local_frames = []
+        mesh_normals = {}
         for n in range(N):
             R = W2L[n]
             lox = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + R[0, 3]
@@ -808,22 +872,39 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             ldy = R[1, 0] * dxv + R[1, 1] * dyv + R[1, 2] * dzv
             ldz = R[2, 0] * dxv + R[2, 1] * dyv + R[2, 2] * dzv
             local_frames.append((lox, loy, loz, ldx, ldy, ldz))
-            cands = _intersect_node_static(
-                node_static[n][0], GP[n].astype(f), (lox, loy, loz),
-                (ldx, ldy, ldz), eps[n],
-            )
-            cnt_n = jnp.zeros(Bl, jnp.int32)
-            tmin_n = inf
-            for t, valid in cands:
-                tv = jnp.where(valid, t, _INF)
-                cnt_n = cnt_n + valid.astype(jnp.int32)
-                tmin_n = jnp.minimum(tmin_n, tv)
-                isfirst = tv < t1
-                issecond = ~isfirst & (tv < t2)
-                t2 = jnp.where(isfirst, t1, jnp.where(issecond, tv, t2))
-                n2 = jnp.where(isfirst, n1, jnp.where(issecond, n, n2))
-                t1 = jnp.where(isfirst, tv, t1)
-                n1 = jnp.where(isfirst, n, n1)
+            if node_static[n][0] == comp.GEOM_MESH:
+                mt1, mt2, cnt_n, mnx, mny, mnz = _mesh_nearest_two(
+                    mesh_consts[n], (lox, loy, loz), (ldx, ldy, ldz),
+                    eps[n],
+                )
+                mesh_normals[n] = (mnx, mny, mnz)
+                tmin_n = mt1
+                cands = [(mt1, cnt_n >= 1), (mt2, cnt_n >= 2)]
+                for t, valid in cands:
+                    tv = jnp.where(valid, t, _INF)
+                    isfirst = tv < t1
+                    issecond = ~isfirst & (tv < t2)
+                    t2 = jnp.where(isfirst, t1, jnp.where(issecond, tv, t2))
+                    n2 = jnp.where(isfirst, n1, jnp.where(issecond, n, n2))
+                    t1 = jnp.where(isfirst, tv, t1)
+                    n1 = jnp.where(isfirst, n, n1)
+            else:
+                cands = _intersect_node_static(
+                    node_static[n][0], GP[n].astype(f), (lox, loy, loz),
+                    (ldx, ldy, ldz), eps[n],
+                )
+                cnt_n = jnp.zeros(Bl, jnp.int32)
+                tmin_n = inf
+                for t, valid in cands:
+                    tv = jnp.where(valid, t, _INF)
+                    cnt_n = cnt_n + valid.astype(jnp.int32)
+                    tmin_n = jnp.minimum(tmin_n, tv)
+                    isfirst = tv < t1
+                    issecond = ~isfirst & (tv < t2)
+                    t2 = jnp.where(isfirst, t1, jnp.where(issecond, tv, t2))
+                    n2 = jnp.where(isfirst, n1, jnp.where(issecond, n, n2))
+                    t1 = jnp.where(isfirst, tv, t1)
+                    n1 = jnp.where(isfirst, n, n1)
             nhits = nhits + cnt_n
             is_cand = (cnt_n == 1) & (tmin_n < cont_t)
             cont_t = jnp.where(is_cand, tmin_n, cont_t)
@@ -1006,12 +1087,18 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         ovr_mode = None
         for n in range(N):
             lox, loy, loz, ldx, ldy, ldz = local_frames[n]
-            lpx = lox + t0 * ldx
-            lpy = loy + t0 * ldy
-            lpz = loz + t0 * ldz
-            nx_n, ny_n, nz_n = _local_normal_static(
-                node_static[n][0], GP[n].astype(f), (lpx, lpy, lpz)
-            )
+            if node_static[n][0] == comp.GEOM_MESH:
+                # Normal of the node's first forward hit, captured
+                # during intersection (valid exactly when hit == n,
+                # i.e. when this node's first hit is the global first).
+                nx_n, ny_n, nz_n = mesh_normals[n]
+            else:
+                lpx = lox + t0 * ldx
+                lpy = loy + t0 * ldy
+                lpz = loz + t0 * ldz
+                nx_n, ny_n, nz_n = _local_normal_static(
+                    node_static[n][0], GP[n].astype(f), (lpx, lpy, lpz)
+                )
             Rw = L2W[n]
             wx = Rw[0, 0] * nx_n + Rw[0, 1] * ny_n + Rw[0, 2] * nz_n
             wy = Rw[1, 0] * nx_n + Rw[1, 1] * ny_n + Rw[1, 2] * nz_n
@@ -1484,6 +1571,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         cont_t = inf
         cont_n = jnp.zeros(B, jnp.int32)
         local_frames = []
+        mesh_normals = {}
         for n in range(N):
             R = W2L[n]
             lox = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + R[0, 3]
@@ -1493,22 +1581,38 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             ldy = R[1, 0] * dxv + R[1, 1] * dyv + R[1, 2] * dzv
             ldz = R[2, 0] * dxv + R[2, 1] * dyv + R[2, 2] * dzv
             local_frames.append((lox, loy, loz, ldx, ldy, ldz))
-            cands = _intersect_node_static(
-                node_static[n][0], GP[n].astype(f), (lox, loy, loz),
-                (ldx, ldy, ldz), eps[n],
-            )
-            cnt_n = jnp.zeros(B, jnp.int32)
-            tmin_n = inf
-            for t, valid in cands:
-                tv = jnp.where(valid, t, _INF)
-                cnt_n = cnt_n + valid.astype(jnp.int32)
-                tmin_n = jnp.minimum(tmin_n, tv)
-                isfirst = tv < t1
-                issecond = ~isfirst & (tv < t2)
-                t2 = jnp.where(isfirst, t1, jnp.where(issecond, tv, t2))
-                n2 = jnp.where(isfirst, n1, jnp.where(issecond, n, n2))
-                t1 = jnp.where(isfirst, tv, t1)
-                n1 = jnp.where(isfirst, n, n1)
+            if node_static[n][0] == comp.GEOM_MESH:
+                mt1, mt2, cnt_n, mnx, mny, mnz = _mesh_nearest_two(
+                    mesh_consts[n], (lox, loy, loz), (ldx, ldy, ldz),
+                    eps[n],
+                )
+                mesh_normals[n] = (mnx, mny, mnz)
+                tmin_n = mt1
+                for t, valid in ((mt1, cnt_n >= 1), (mt2, cnt_n >= 2)):
+                    tv = jnp.where(valid, t, _INF)
+                    isfirst = tv < t1
+                    issecond = ~isfirst & (tv < t2)
+                    t2 = jnp.where(isfirst, t1, jnp.where(issecond, tv, t2))
+                    n2 = jnp.where(isfirst, n1, jnp.where(issecond, n, n2))
+                    t1 = jnp.where(isfirst, tv, t1)
+                    n1 = jnp.where(isfirst, n, n1)
+            else:
+                cands = _intersect_node_static(
+                    node_static[n][0], GP[n].astype(f), (lox, loy, loz),
+                    (ldx, ldy, ldz), eps[n],
+                )
+                cnt_n = jnp.zeros(B, jnp.int32)
+                tmin_n = inf
+                for t, valid in cands:
+                    tv = jnp.where(valid, t, _INF)
+                    cnt_n = cnt_n + valid.astype(jnp.int32)
+                    tmin_n = jnp.minimum(tmin_n, tv)
+                    isfirst = tv < t1
+                    issecond = ~isfirst & (tv < t2)
+                    t2 = jnp.where(isfirst, t1, jnp.where(issecond, tv, t2))
+                    n2 = jnp.where(isfirst, n1, jnp.where(issecond, n, n2))
+                    t1 = jnp.where(isfirst, tv, t1)
+                    n1 = jnp.where(isfirst, n, n1)
             nhits = nhits + cnt_n
             # container candidate: unique-hit node nearest the origin
             is_cand = (cnt_n == 1) & (tmin_n < cont_t)
@@ -1823,12 +1927,15 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         ovr_mode = None
         for n in range(N):
             lox, loy, loz, ldx, ldy, ldz = local_frames[n]
-            lpx = lox + t0 * ldx
-            lpy = loy + t0 * ldy
-            lpz = loz + t0 * ldz
-            nx_n, ny_n, nz_n = _local_normal_static(
-                node_static[n][0], GP[n].astype(f), (lpx, lpy, lpz)
-            )
+            if node_static[n][0] == comp.GEOM_MESH:
+                nx_n, ny_n, nz_n = mesh_normals[n]
+            else:
+                lpx = lox + t0 * ldx
+                lpy = loy + t0 * ldy
+                lpz = loz + t0 * ldz
+                nx_n, ny_n, nz_n = _local_normal_static(
+                    node_static[n][0], GP[n].astype(f), (lpx, lpy, lpz)
+                )
             Rw = L2W[n]
             wx = Rw[0, 0] * nx_n + Rw[0, 1] * ny_n + Rw[0, 2] * nz_n
             wy = Rw[1, 0] * nx_n + Rw[1, 1] * ny_n + Rw[1, 2] * nz_n
@@ -2136,7 +2243,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
     fast_ok = cfg.n_slots == 0 and not cfg.score and not _ABLATE
     if fast_ok:
         blk = pallas_block_size()
-        if cfg.pallas and blk is not None:
+        if cfg.pallas and blk is not None and not compiled.mesh_data:
             kernel_fn = build_pallas_step(blk)
             table_args = []
             if has_spectra:

@@ -35,7 +35,7 @@ from pvtrace_tpu.engine.recorder import Heatmap
 
 STATIC = Path(__file__).resolve().parent / "static"
 
-GEOM_NAMES = {0: "box", 1: "sphere", 2: "cylinder"}
+GEOM_NAMES = {0: "box", 1: "sphere", 2: "cylinder", 3: "mesh"}
 
 
 class _FlowList(list):

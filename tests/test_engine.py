@@ -180,7 +180,12 @@ class TestEngineVsOracle:
         _, e2, r2 = engine_fates(scene, 200, seed=6)
         assert not np.array_equal(r1.data["position"], r2.data["position"])
 
-    def test_unsupported_mesh_raises(self):
+    def test_mesh_scenes_compile(self):
+        # Beyond-reference capability: the reference engine rejects
+        # meshes (engine/compiler.py:53); pvtrace_tpu compiles them
+        # (see tests/test_mesh_engine.py for tracing validation).
+        from pvtrace_tpu.engine.compiler import GEOM_MESH
+
         scene, _ = make_fresnel_scene()
         v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1.0]])
         fcs = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
@@ -189,8 +194,10 @@ class TestEngineVsOracle:
             geometry=Mesh((v, fcs), material=Material(refractive_index=1.3)),
             parent=scene.root,
         )
-        with pytest.raises(UnsupportedSceneError):
-            compile_scene(scene)
+        compiled = compile_scene(scene)
+        mesh_index = list(compiled.node_names).index("mesh")
+        assert compiled.geom_type[mesh_index] == GEOM_MESH
+        assert mesh_index in compiled.mesh_data
 
     def test_absorption_depth_distribution(self):
         """Engine samples Beer-Lambert depths with the right mean."""
