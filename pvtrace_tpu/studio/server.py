@@ -117,11 +117,19 @@ class Studio:
         node_specs = self.spec.get("nodes", {}) if self.spec else {}
         nodes = []
         for i, name in enumerate(compiled.node_names):
+            params = np.asarray(compiled.geom_params[i]).tolist()
+            if i in compiled.mesh_data:
+                # Meshes render as their local bounding box; pass the
+                # half-extents in the params slot the viewport expects.
+                v0, e1, e2, _ = compiled.mesh_data[i]
+                verts = np.concatenate([v0, v0 + e1, v0 + e2])
+                half = np.max(np.abs(verts), axis=0)
+                params = (2.0 * half).tolist() + [0.0]
             nodes.append(
                 {
                     "name": name,
                     "type": GEOM_NAMES[int(compiled.geom_type[i])],
-                    "params": np.asarray(compiled.geom_params[i]).tolist(),
+                    "params": params,
                     # Row-major 4x4 local -> world
                     "matrix": np.asarray(
                         compiled.local_to_world[i]

@@ -107,7 +107,8 @@ function polylineEdges(points) {
 
 function geometryEdges(node) {
   const p = node.params;
-  if (node.type === "box") {
+  if (node.type === "box" || node.type === "mesh") {
+    // Meshes render as their bounding box (server sends extents).
     const [a, b, c] = [p[0] / 2, p[1] / 2, p[2] / 2];
     const v = [];
     for (const sx of [-1, 1]) for (const sy of [-1, 1]) for (const sz of [-1, 1])
