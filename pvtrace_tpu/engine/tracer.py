@@ -1242,6 +1242,15 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
 
     # -- interpolation callbacks ----------------------------------------
 
+    # Gather formulation notes (all measured on v5e, 512k lanes):
+    # the wide [Bl, 2W] row gather + per-column slices used here wins.
+    # The profile attributes ~half the step to the column extraction
+    # (each slice of a T(8,128)-tiled result relayouts to T(1024)), but
+    # every alternative measured WORSE: per-slot 1-D gathers 4x slower
+    # (each pays its own latency-bound pass), transposed-table
+    # jnp.take(..., axis=1) ~12% slower (gather + transpose), one-hot
+    # MXU interpolation only viable inside the Pallas kernel.
+
     def spec_slots_gather(container, i0, frac):
         row = jnp.clip(container, 0, N - 1) * L + i0
         packed = spec_pack[row]  # [Bl, 2W] — the one wide gather
