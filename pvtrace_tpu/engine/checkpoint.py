@@ -38,13 +38,18 @@ class AccumulatedResult:
     """
 
     def __init__(self, compiled, distinct, crossings, sums, bins, fates,
-                 traced, num_rays, seed, bundle, elapsed=0.0):
+                 traced, num_rays, seed, bundle, elapsed=0.0,
+                 fate_scores=None):
         self.compiled = compiled
         self._distinct = np.asarray(distinct, dtype=np.int64)
         self._crossings = np.asarray(crossings, dtype=np.int64)
         self._sums = np.asarray(sums, dtype=np.float64)
         self._bins = np.asarray(bins, dtype=np.int64)
         self._fates = np.asarray(fates, dtype=np.int64)
+        self._fate_scores = (
+            None if fate_scores is None
+            else np.asarray(fate_scores, dtype=np.float64)
+        )
         self.traced = int(traced)
         self.num_rays = int(num_rays)
         self.seed = int(seed)
@@ -84,6 +89,20 @@ class AccumulatedResult:
             out["NO_HIT"] = int(self._fates[10])
         return out
 
+    def fate_gradients(self):
+        """(fractions, gradients) over the traced photons so far — see
+        ``pvtrace_tpu.diff.transport.fate_gradients``. Requires the run
+        to have been made with ``score=True``."""
+        if self._fate_scores is None:
+            raise ValueError("Run with score=True to accumulate scores.")
+        n = max(self.traced, 1)
+        fractions, gradients = {}, {}
+        for event in (Event.EXIT, Event.NONRADIATIVE, Event.REACT,
+                      Event.KILL):
+            fractions[event] = self._fates[event.value] / n
+            gradients[event] = self._fate_scores[event.value] / n
+        return fractions, gradients
+
     # -- persistence ----------------------------------------------------
 
     def save(self, path):
@@ -91,6 +110,9 @@ class AccumulatedResult:
         directory = os.path.dirname(os.path.abspath(path)) or "."
         fd, tmp = tempfile.mkstemp(suffix=".npz.tmp", dir=directory)
         try:
+            extra = {}
+            if self._fate_scores is not None:
+                extra["fate_scores"] = self._fate_scores
             with os.fdopen(fd, "wb") as fp:
                 np.savez(
                     fp,
@@ -106,6 +128,7 @@ class AccumulatedResult:
                     seed=self.seed,
                     bundle=self.bundle,
                     elapsed=self.elapsed,
+                    **extra,
                 )
             os.replace(tmp, path)
         except BaseException:
@@ -133,6 +156,9 @@ class AccumulatedResult:
                 int(data["traced"]), int(data["num_rays"]),
                 int(data["seed"]), int(data["bundle"]),
                 float(data["elapsed"]),
+                fate_scores=(
+                    data["fate_scores"] if "fate_scores" in data else None
+                ),
             )
 
 
@@ -175,6 +201,7 @@ def simulate_checkpointed(
             raise ValueError(
                 f"Checkpoint seed {state.seed} != requested seed {seed}."
             )
+    score = bool(kwargs.get("score"))
     if state is None:
         if seed is None:
             seed = int(np.random.randint(0, 2 ** 31 - 1))
@@ -190,6 +217,14 @@ def simulate_checkpointed(
             num_rays=num_rays,
             seed=seed,
             bundle=bundle,
+            fate_scores=(
+                np.zeros((11, max(compiled.n_components, 1)))
+                if score else None
+            ),
+        )
+    elif score and state._fate_scores is None:
+        raise ValueError(
+            "Checkpoint was written without score accumulation."
         )
 
     bundles_done = 0
@@ -207,6 +242,8 @@ def simulate_checkpointed(
         state._sums += result.data["rec_sums"].reshape(n_rec, 4, 2)
         state._bins += result.data["rec_bins"]
         state._fates += result.data["fates"]
+        if score:
+            state._fate_scores += result.data["fate_scores"]
         state.traced += n
         state.elapsed += result.elapsed
         bundles_done += 1

@@ -135,3 +135,39 @@ def test_completed_checkpoint_is_a_noop(tmp_path):
     )
     assert again.traced == 2000
     assert tallies(again) == tallies(first)
+
+
+def test_checkpointed_score_gradients(tmp_path):
+    scene = make_scene()
+    path = str(tmp_path / "score.npz")
+    partial = engine.simulate_checkpointed(
+        scene, 4000, checkpoint=path, bundle=1000, seed=3,
+        stop_after_bundles=2, score=True,
+    )
+    resumed = engine.simulate_checkpointed(
+        scene, 4000, checkpoint=path, bundle=1000, seed=3, score=True,
+    )
+    full = engine.simulate_checkpointed(
+        scene, 4000, checkpoint=None, bundle=1000, seed=3, score=True,
+    )
+    fr, gr = resumed.fate_gradients()
+    ff, gf = full.fate_gradients()
+    assert fr == ff
+    for event in gr:
+        np.testing.assert_allclose(gr[event], gf[event], rtol=1e-12)
+    # Absorber scale up => more NONRADIATIVE
+    from pvtrace_tpu.light.event import Event
+    assert gr[Event.NONRADIATIVE][0] > 0
+
+
+def test_score_checkpoint_mismatch_raises(tmp_path):
+    scene = make_scene()
+    path = str(tmp_path / "noscore.npz")
+    engine.simulate_checkpointed(
+        scene, 2000, checkpoint=path, bundle=1000, seed=1,
+        stop_after_bundles=1,
+    )
+    with pytest.raises(ValueError, match="without score"):
+        engine.simulate_checkpointed(
+            scene, 2000, checkpoint=path, bundle=1000, seed=1, score=True,
+        )
