@@ -18,6 +18,8 @@ setup(
     package_data={
         "pvtrace_tpu.cli": ["schema.json"],
         "pvtrace_tpu.data": ["schema.sql"],
+        "pvtrace_tpu.studio": ["static/*"],
+        "pvtrace_tpu.native": ["*.cpp"],
     },
     python_requires=">=3.10",
     install_requires=[
@@ -28,9 +30,8 @@ setup(
         "pandas",
         "scipy",
     ],
-    extras_require={
-        "studio": ["websockets"],
-    },
+    # The studio is dependency-free (stdlib HTTP + Server-Sent Events),
+    # so unlike the reference there are no optional extras to install.
     entry_points={
         "console_scripts": [
             "pvtrace-tpu-cli = pvtrace_tpu.cli.main:app",
