@@ -851,7 +851,8 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
     }
 
     def physics_core(u, px, py, pz, dxv, dyv, dzv, wav, trav, dur,
-                     source, alive, count, spec_slots_fn, icdf_fn):
+                     source, alive, count, spec_slots_fn, icdf_fn,
+                     want_extras=False):
         Bl = px.shape[0]
         inf = jnp.full(Bl, _INF, f)
         t1 = inf
@@ -957,6 +958,10 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         pz = jnp.where(alive, pz + dzv * advance, pz)
         trav = jnp.where(alive, trav + advance, trav)
         dur = jnp.where(alive, dur + advance * n_cont / C_CM_PER_S, dur)
+        # Snapshots for event-log records / score accumulation
+        dur_adv = dur
+        moving = alive
+        source_pre = source
 
         if has_spectra:
             target = u[1] * alpha
@@ -1068,10 +1073,13 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             ]
             reacting = nonrad & _member(comp_id, reactor_comps)
             losing = nonrad & ~reacting
+            scattering = radiative & ~is_lum
         else:
             comp_id = jnp.full(Bl, -1, jnp.int32)
             nonrad = jnp.zeros(Bl, dtype=bool)
             reacting = losing = nonrad
+            radiative = emitting = scattering = nonrad
+            slot_vals = []
 
         # --- surface interaction --------------------------------------
         surf = alive & ~exit_mask & ~absorbed
@@ -1227,7 +1235,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             have_n = have_n | transmitting
 
         alive = alive & ~exit_mask & ~nonrad
-        return {
+        out = {
             "px": px, "py": py, "pz": pz,
             "dx": dxv, "dy": dyv, "dz": dzv,
             "wav": wav, "trav": trav, "dur": dur,
@@ -1239,6 +1247,20 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             "wnx": wnx, "wny": wny, "wnz": wnz, "c_in": c_in,
             "surface_event": exit_mask | reflecting | transmitting,
         }
+        if want_extras:
+            # Everything the event-log records and the score estimator
+            # need, snapshotted at the semantically correct points.
+            out.update(
+                hit=hit, container=container, adjacent=adjacent,
+                comp_id=comp_id, absorbed=absorbed, radiative=radiative,
+                emitting=emitting, scattering=scattering,
+                kill_max=kill_max, adj_bad=adj_bad,
+                reflecting=reflecting, transmitting=transmitting,
+                moving=moving, advance=advance, alpha=alpha,
+                dur_adv=dur_adv, source_pre=source_pre,
+                slot_vals=slot_vals,
+            )
+        return out
 
     # -- interpolation callbacks ----------------------------------------
 
@@ -1512,13 +1534,11 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         return out
 
     def body(state):
-        px, py, pz = state["px"], state["py"], state["pz"]
-        dxv, dyv, dzv = state["dx"], state["dy"], state["dz"]
-        wav = state["wav"]
-        trav = state["trav"]
-        dur = state["dur"]
-        source = state["source"]
-        alive = state["alive"]
+        """Full-featured body: physics via `physics_core`, plus event-log
+        records and score accumulation interleaved at the semantically
+        correct points (snapshots come back as core extras). Used for
+        validation runs (record_every > 0) and gradient runs
+        (score=True); the tallies-only fast path is `body_fast`."""
         log = state["log"]
         nevents = state["nevents"]
         slot = state["slot"]
@@ -1527,624 +1547,162 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         score = state["score"] if cfg.score else None
 
         step = state["step"] + 1
-        count = state["count"] + alive.astype(jnp.int32)
-
-        # Draws use the PER-PHOTON step counter (not the global loop
-        # step): each photon's stream is a pure function of
-        # (base_key, pid, its own step index), making tallies bitwise
-        # independent of lane width, regeneration scheduling, and mesh
-        # sharding — the TPU analogue of the reference's
-        # one-xoshiro-stream-per-ray guarantee (_kernel.pyx:71-77).
+        alive0 = state["alive"]
+        count = state["count"] + alive0.astype(jnp.int32)
         pk0 = state["k0"]
         pk1 = state["k1"]
-        if "rng" in _ABLATE:
-            u = [
-                (
-                    (pk0 * np.uint32(2654435761 + 97 * j)
-                     + count.astype(jnp.uint32) * np.uint32(40503 + j))
-                    >> 8
-                ).astype(f) * (1.0 / (1 << 24))
-                for j in range(8)
-            ]
-        else:
-            u = _draw8(pk0, pk1, count.astype(jnp.uint32), f)
+        u = _draw8(pk0, pk1, count.astype(jnp.uint32), f)
 
-        def pos3():
-            return jnp.stack([px, py, pz], axis=-1)
-
-        def dir3():
-            return jnp.stack([dxv, dyv, dzv], axis=-1)
+        in_pos3 = jnp.stack([state["px"], state["py"], state["pz"]], axis=-1)
+        in_dir3 = jnp.stack([state["dx"], state["dy"], state["dz"]], axis=-1)
 
         # --- event-budget kill (recorded rays only) -------------------
         if cfg.n_slots > 0:
             recorded = slot < cfg.n_slots
-            budget_kill = alive & recorded & (nevents >= cfg.max_events - 1)
+            budget_kill = alive0 & recorded & (nevents >= cfg.max_events - 1)
             log, nevents = _record(
                 log, nevents, slot, budget_kill, cfg,
-                kind=EV_KILL, hit=-1, container=-1, adjacent=-1, component=-1,
-                source=source, pos3=pos3(), dir3=dir3(), normal3=None,
-                wavelength=wav, travelled=trav, duration=dur,
+                kind=EV_KILL, hit=-1, container=-1, adjacent=-1,
+                component=-1, source=state["source"], pos3=in_pos3,
+                dir3=in_dir3, normal3=None, wavelength=state["wav"],
+                travelled=state["trav"], duration=state["dur"],
             )
             fates = fates.at[EV_KILL].add(
                 jnp.sum(budget_kill, dtype=jnp.int32)
             )
-            alive = alive & ~budget_kill
-
-        # --- next hit: static unrolled intersection over nodes --------
-        inf = jnp.full(B, _INF, f)
-        t1 = inf
-        n1 = jnp.zeros(B, jnp.int32)
-        t2 = inf
-        n2 = jnp.zeros(B, jnp.int32)
-        nhits = jnp.zeros(B, jnp.int32)
-        cont_t = inf
-        cont_n = jnp.zeros(B, jnp.int32)
-        local_frames = []
-        mesh_normals = {}
-        for n in range(N):
-            R = W2L[n]
-            lox = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + R[0, 3]
-            loy = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + R[1, 3]
-            loz = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + R[2, 3]
-            ldx = R[0, 0] * dxv + R[0, 1] * dyv + R[0, 2] * dzv
-            ldy = R[1, 0] * dxv + R[1, 1] * dyv + R[1, 2] * dzv
-            ldz = R[2, 0] * dxv + R[2, 1] * dyv + R[2, 2] * dzv
-            local_frames.append((lox, loy, loz, ldx, ldy, ldz))
-            if node_static[n][0] == comp.GEOM_MESH:
-                mt1, mt2, cnt_n, mnx, mny, mnz = _mesh_nearest_two(
-                    mesh_consts[n], (lox, loy, loz), (ldx, ldy, ldz),
-                    eps[n],
-                )
-                mesh_normals[n] = (mnx, mny, mnz)
-                tmin_n = mt1
-                for t, valid in ((mt1, cnt_n >= 1), (mt2, cnt_n >= 2)):
-                    tv = jnp.where(valid, t, _INF)
-                    isfirst = tv < t1
-                    issecond = ~isfirst & (tv < t2)
-                    t2 = jnp.where(isfirst, t1, jnp.where(issecond, tv, t2))
-                    n2 = jnp.where(isfirst, n1, jnp.where(issecond, n, n2))
-                    t1 = jnp.where(isfirst, tv, t1)
-                    n1 = jnp.where(isfirst, n, n1)
-            else:
-                cands = _intersect_node_static(
-                    node_static[n][0], GP[n].astype(f), (lox, loy, loz),
-                    (ldx, ldy, ldz), eps[n],
-                )
-                cnt_n = jnp.zeros(B, jnp.int32)
-                tmin_n = inf
-                for t, valid in cands:
-                    tv = jnp.where(valid, t, _INF)
-                    cnt_n = cnt_n + valid.astype(jnp.int32)
-                    tmin_n = jnp.minimum(tmin_n, tv)
-                    isfirst = tv < t1
-                    issecond = ~isfirst & (tv < t2)
-                    t2 = jnp.where(isfirst, t1, jnp.where(issecond, tv, t2))
-                    n2 = jnp.where(isfirst, n1, jnp.where(issecond, n, n2))
-                    t1 = jnp.where(isfirst, tv, t1)
-                    n1 = jnp.where(isfirst, n, n1)
-            nhits = nhits + cnt_n
-            # container candidate: unique-hit node nearest the origin
-            is_cand = (cnt_n == 1) & (tmin_n < cont_t)
-            cont_t = jnp.where(is_cand, tmin_n, cont_t)
-            cont_n = jnp.where(is_cand, n, cont_n)
-
-        no_hit = nhits == 0
-        hit = n1
-        t0 = t1
-        container = jnp.where(jnp.isfinite(cont_t), cont_n, hit)
-        adjacent = jnp.where(container == hit, n2, hit)
-        container = jnp.where(nhits == 1, hit, container)
-        adjacent = jnp.where(nhits == 1, -1, adjacent)
-
-        no_hit_term = alive & no_hit
-        fates = fates.at[FATE_NO_HIT].add(
-            jnp.sum(no_hit_term, dtype=jnp.int32)
-        )
-        alive = alive & ~no_hit
-
-        # --- maxsteps kill --------------------------------------------
-        kill_max = alive & (count > cfg.maxsteps)
-        log, nevents = _record(
-            log, nevents, slot, kill_max, cfg,
-            kind=EV_KILL, hit=-1, container=container, adjacent=-1,
-            component=-1, source=source, pos3=pos3(), dir3=dir3(),
-            normal3=None, wavelength=wav, travelled=trav, duration=dur,
-        )
-        fates = fates.at[EV_KILL].add(jnp.sum(kill_max, dtype=jnp.int32))
-        alive = alive & ~kill_max
-
-        n_cont = _select(container, NIDX, jnp.full(B, 1.0, f))
-
-        # --- exit through the root boundary ---------------------------
-        exit_mask = alive & (hit == cfg.root_id)
-
-        # --- packed spectral gather #1 --------------------------------
-        if has_spectra:
-            posf = (wav - cfg.grid_x0) / cfg.grid_dx
-            i0 = jnp.clip(posf.astype(jnp.int32), 0, L - 2)
-            frac = jnp.clip(posf - i0.astype(f), 0.0, 1.0)
-            row = jnp.clip(container, 0, N - 1) * L + i0
-            if "gather" in _ABLATE:
-                packed = jnp.broadcast_to(
-                    spec_pack[0], (B, spec_pack.shape[1])
-                ) + row[:, None].astype(f) * 0.0
-            else:
-                packed = spec_pack[row]  # [B, 2W] — the one wide gather
-
-            def slot_interp(w):
-                lo = packed[:, 2 * w]
-                hi = packed[:, 2 * w + 1]
-                return lo + frac * (hi - lo)
-
-            maxK = max(ns[2] for ns in node_static)
-            cums = [slot_interp(w) for w in range(maxK)]
-            alpha = _select(
-                container,
-                [
-                    cums[ns[2] - 1] if ns[2] > 0 else jnp.zeros(B, f)
-                    for ns in node_static
-                ],
-                jnp.zeros(B, f),
-            )
+            alive1 = alive0 & ~budget_kill
         else:
-            alpha = jnp.zeros(B, f)
+            budget_kill = jnp.zeros(B, dtype=bool)
+            alive1 = alive0
 
-        depth = jnp.where(
-            alpha > ALPHA_ZERO,
-            -jnp.log1p(-u[0]) / jnp.maximum(alpha, 1e-30),
-            _INF,
+        r = physics_core(
+            u, state["px"], state["py"], state["pz"],
+            state["dx"], state["dy"], state["dz"],
+            state["wav"], state["trav"], state["dur"],
+            state["source"], alive1, count,
+            spec_slots_gather, icdf_gather, want_extras=True,
         )
-        absorbed = alive & ~exit_mask & (depth < t0)
+        pos3 = jnp.stack([r["px"], r["py"], r["pz"]], axis=-1)
+        dir3 = jnp.stack([r["dx"], r["dy"], r["dz"]], axis=-1)
+        wn3 = jnp.stack([r["wnx"], r["wny"], r["wnz"]], axis=-1)
 
-        advance = jnp.where(absorbed, depth, t0)
-        px = jnp.where(alive, px + dxv * advance, px)
-        py = jnp.where(alive, py + dyv * advance, py)
-        pz = jnp.where(alive, pz + dzv * advance, pz)
-        trav = jnp.where(alive, trav + advance, trav)
-        dur = jnp.where(alive, dur + advance * n_cont / C_CM_PER_S, dur)
+        for mask, fid in (
+            (r["no_hit_term"], FATE_NO_HIT),
+            (r["kill_max"], EV_KILL),
+            (r["exit_mask"], EV_EXIT),
+            (r["reacting"], EV_REACT),
+            (r["losing"], EV_NONRADIATIVE),
+            (r["adj_bad"], EV_KILL),
+        ):
+            fates = fates.at[fid].add(jnp.sum(mask, dtype=jnp.int32))
 
+        # --- event-log records (same order/values as the kernel) ------
         log, nevents = _record(
-            log, nevents, slot, exit_mask, cfg,
-            kind=EV_EXIT, hit=hit, container=container, adjacent=adjacent,
-            component=-1, source=source, pos3=pos3(), dir3=dir3(),
-            normal3=None, wavelength=wav, travelled=trav, duration=dur,
+            log, nevents, slot, r["kill_max"], cfg,
+            kind=EV_KILL, hit=-1, container=r["container"], adjacent=-1,
+            component=-1, source=state["source"], pos3=pos3, dir3=in_dir3,
+            normal3=None, wavelength=r["wav"], travelled=r["trav"],
+            duration=r["dur"],
         )
-        fates = fates.at[EV_EXIT].add(jnp.sum(exit_mask, dtype=jnp.int32))
-
-        # --- component roulette + radiative branch --------------------
-        if has_spectra:
-            target = u[1] * alpha
-            comp_vals = []
-            for ns in node_static:
-                K, comp_ids = ns[2], ns[3]
-                if K == 0:
-                    comp_vals.append(jnp.full(B, -1, jnp.int32))
-                    continue
-                ordinal = jnp.zeros(B, jnp.int32)
-                for k in range(K - 1):
-                    ordinal = ordinal + (cums[k] < target).astype(jnp.int32)
-                cid = jnp.full(B, comp_ids[K - 1], jnp.int32)
-                for k in range(K - 1):
-                    cid = jnp.where(ordinal == k, comp_ids[k], cid)
-                comp_vals.append(cid)
-            comp_id = _select(container, comp_vals, jnp.full(B, -1, jnp.int32))
-
-            log, nevents = _record(
-                log, nevents, slot, absorbed, cfg,
-                kind=EV_ABSORB, hit=-1, container=container, adjacent=-1,
-                component=comp_id, source=source, pos3=pos3(), dir3=dir3(),
-                normal3=None, wavelength=wav, travelled=trav, duration=dur,
-            )
-
-            # Static per-component attributes via where-chains
-            def comp_attr(values, init):
-                acc = jnp.full(B, init, f)
-                for c in range(n_comps):
-                    acc = jnp.where(comp_id == c, values[c], acc)
-                return acc
-
-            if cfg.score:
-                # Score-function estimator: accumulate
-                # d log p(path) / d log(scale_c) per component. For the
-                # sampled free path (density alpha_t*exp(-alpha_t*s),
-                # component roulette alpha_j/alpha_t):
-                #   absorbed by j at depth s: 1{j=c} - alpha_c*s
-                #   reached the boundary:     -alpha_c*t0
-                # (a log-derivative, so the per-component attenuation
-                # alpha_c both times; quantum-yield coin flips do not
-                # depend on the scales).
-                contribs = []
-                for c in range(n_comps):
-                    terms = []
-                    for n in range(N):
-                        comp_ids_n = node_static[n][3]
-                        if c not in comp_ids_n:
-                            continue
-                        k_own = comp_ids_n.index(c)
-                        a_c = cums[k_own] - (
-                            cums[k_own - 1] if k_own > 0 else 0.0
-                        )
-                        terms.append((n, a_c))
-                    a_here = jnp.zeros(B, f)
-                    for n, a_c in terms:
-                        a_here = jnp.where(container == n, a_c, a_here)
-                    ds = jnp.where(alive, -a_here * advance, 0.0)
-                    ds = ds + (absorbed & (comp_id == c)).astype(f)
-                    contribs.append(ds)
-                score = score + jnp.stack(contribs)
-
-            qy = comp_attr([cs[1] for cs in comp_static], 0.0)
-            radiative_comps = [
-                c for c in range(n_comps)
-                if comp_static[c][0] in (comp.COMP_SCATTERER, comp.COMP_LUMINOPHORE)
-            ]
-            can_radiate = _member(comp_id, radiative_comps)
-            radiative = absorbed & can_radiate & (u[2] < qy)
-
-            # Phase sampling, trig-free, grouped by static phase config
-            phase_groups = {}
-            for c in radiative_comps:
-                keyg = (comp_static[c][4], comp_static[c][5])
-                phase_groups.setdefault(keyg, []).append(c)
-            ndx = jnp.zeros(B, f)
-            ndy = jnp.zeros(B, f)
-            ndz = jnp.ones(B, f)
-            phi = 2.0 * np.pi * u[4]
-            cphi = jnp.cos(phi)
-            sphi = jnp.sin(phi)
-            for (ptype, pparam), members in phase_groups.items():
-                if ptype == comp.PHASE_HENYEY_GREENSTEIN and abs(pparam) >= 1e-12:
-                    g = pparam
-                    s = 2.0 * u[3] - 1.0
-                    mu = (1.0 + g * g - ((1.0 - g * g) / (1.0 + g * s)) ** 2) / (
-                        2.0 * g
-                    )
-                    mu = jnp.clip(mu, -1.0, 1.0)
-                elif ptype == comp.PHASE_CONE:
-                    st = jnp.sqrt(u[3]) * np.sin(pparam)
-                    mu = jnp.sqrt(jnp.clip(1.0 - st * st, 0.0, None))
-                else:
-                    mu = 2.0 * u[3] - 1.0
-                st = jnp.sqrt(jnp.clip(1.0 - mu * mu, 0.0, None))
-                in_group = _member(comp_id, members)
-                ndx = jnp.where(in_group, st * cphi, ndx)
-                ndy = jnp.where(in_group, st * sphi, ndy)
-                ndz = jnp.where(in_group, mu, ndz)
-
-            lum_comps = [
-                c for c in range(n_comps)
-                if comp_static[c][0] == comp.COMP_LUMINOPHORE
-            ]
-            is_lum = _member(comp_id, lum_comps)
-            emitting = radiative & is_lum
-
-            if cfg.n_lum > 0:
-                # Emission wavelength: truncated inverse-CDF sampling.
-                # p1 columns were pre-shifted at compile time so they
-                # share the packed gather; the icdf gather runs only on
-                # steps where some photon emits.
-                if cfg.emit_method == comp.EMIT_FULL:
-                    p1 = jnp.zeros(B, f)
-                else:
-                    p1 = jnp.zeros(B, f)
-                    for c in lum_comps:
-                        K_n, j = comp_node_info[c]
-                        w = K_n + 2 * j + (
-                            0 if cfg.emit_method == comp.EMIT_KT else 1
-                        )
-                        p1 = jnp.where(comp_id == c, slot_interp(w), p1)
-                gamma = p1 + (1.0 - p1) * u[5]
-                lumidx = comp_attr(
-                    [max(cs[6], 0) for cs in comp_static], 0.0
-                ).astype(jnp.int32)
-
-                # Unconditional: at wavefront widths >10^5 some lane
-                # emits virtually every step, so gating this gather
-                # behind lax.cond(any(emitting)) saves nothing and the
-                # any() reduction serialises the step (measured equal
-                # or slower).
-                gposf = gamma * (M - 1)
-                j0 = jnp.clip(gposf.astype(jnp.int32), 0, M - 2)
-                gfrac = gposf - j0.astype(f)
-                if "gather" in _ABLATE:
-                    prow = jnp.broadcast_to(icdf_pairs[0], (B, 2)) + (
-                        (lumidx * M + j0)[:, None].astype(f) * 0.0
-                    )
-                else:
-                    prow = icdf_pairs[lumidx * M + j0]  # [B, 2]
-                new_wav = prow[:, 0] + gfrac * (prow[:, 1] - prow[:, 0])
-                tau_rad = comp_attr([cs[2] for cs in comp_static], 0.0)
-                rad_delay = jnp.where(
-                    tau_rad > 0.0, -jnp.log1p(-u[6]) * tau_rad, 0.0
-                )
-                wav = jnp.where(emitting, new_wav, wav)
-                dur = jnp.where(emitting, dur + rad_delay, dur)
-
-            dxv = jnp.where(radiative, ndx, dxv)
-            dyv = jnp.where(radiative, ndy, dyv)
-            dzv = jnp.where(radiative, ndz, dzv)
-            source = jnp.where(radiative, comp_id, source)
-
-            log, nevents = _record(
-                log, nevents, slot, emitting, cfg,
-                kind=EV_EMIT, hit=-1, container=container, adjacent=-1,
-                component=comp_id, source=source, pos3=pos3(), dir3=dir3(),
-                normal3=None, wavelength=wav, travelled=trav, duration=dur,
-            )
-            scattering = radiative & ~is_lum
-            log, nevents = _record(
-                log, nevents, slot, scattering, cfg,
-                kind=EV_SCATTER, hit=-1, container=container, adjacent=-1,
-                component=comp_id, source=source, pos3=pos3(), dir3=dir3(),
-                normal3=None, wavelength=wav, travelled=trav, duration=dur,
-            )
-
-            nonrad = absorbed & ~radiative
-            tau_nr = comp_attr([cs[3] for cs in comp_static], 0.0)
-            nr_delay = jnp.where(
-                tau_nr > 0.0, -jnp.log1p(-u[6]) * tau_nr, 0.0
-            )
-            dur = jnp.where(nonrad, dur + nr_delay, dur)
-            reactor_comps = [
-                c for c in range(n_comps)
-                if comp_static[c][0] == comp.COMP_REACTOR
-            ]
-            reacting = nonrad & _member(comp_id, reactor_comps)
-            losing = nonrad & ~reacting
-            log, nevents = _record(
-                log, nevents, slot, reacting, cfg,
-                kind=EV_REACT, hit=-1, container=container, adjacent=-1,
-                component=comp_id, source=source, pos3=pos3(), dir3=dir3(),
-                normal3=None, wavelength=wav, travelled=trav, duration=dur,
-            )
-            log, nevents = _record(
-                log, nevents, slot, losing, cfg,
-                kind=EV_NONRADIATIVE, hit=-1, container=container,
-                adjacent=-1, component=comp_id, source=source, pos3=pos3(),
-                dir3=dir3(), normal3=None, wavelength=wav, travelled=trav,
-                duration=dur,
-            )
-            fates = fates.at[EV_REACT].add(jnp.sum(reacting, dtype=jnp.int32))
-            fates = fates.at[EV_NONRADIATIVE].add(
-                jnp.sum(losing, dtype=jnp.int32)
-            )
-        else:
-            comp_id = jnp.full(B, -1, jnp.int32)
-            nonrad = jnp.zeros(B, dtype=bool)
-            reacting = losing = nonrad
-
-        # --- surface interaction --------------------------------------
-        surf = alive & ~exit_mask & ~absorbed
-        adj_bad = surf & (adjacent < 0)
         log, nevents = _record(
-            log, nevents, slot, adj_bad, cfg,
-            kind=EV_KILL, hit=hit, container=container, adjacent=-1,
-            component=-1, source=source, pos3=pos3(), dir3=dir3(),
-            normal3=None, wavelength=wav, travelled=trav, duration=dur,
+            log, nevents, slot, r["exit_mask"], cfg,
+            kind=EV_EXIT, hit=r["hit"], container=r["container"],
+            adjacent=r["adjacent"], component=-1, source=r["source"],
+            pos3=pos3, dir3=in_dir3, normal3=None, wavelength=r["wav"],
+            travelled=r["trav"], duration=r["dur_adv"],
         )
-        fates = fates.at[EV_KILL].add(jnp.sum(adj_bad, dtype=jnp.int32))
-        surf = surf & ~adj_bad
+        log, nevents = _record(
+            log, nevents, slot, r["absorbed"], cfg,
+            kind=EV_ABSORB, hit=-1, container=r["container"], adjacent=-1,
+            component=r["comp_id"], source=r["source_pre"], pos3=pos3,
+            dir3=in_dir3, normal3=None, wavelength=state["wav"],
+            travelled=r["trav"], duration=r["dur_adv"],
+        )
+        log, nevents = _record(
+            log, nevents, slot, r["emitting"], cfg,
+            kind=EV_EMIT, hit=-1, container=r["container"], adjacent=-1,
+            component=r["comp_id"], source=r["source"], pos3=pos3,
+            dir3=dir3, normal3=None, wavelength=r["wav"],
+            travelled=r["trav"], duration=r["dur"],
+        )
+        log, nevents = _record(
+            log, nevents, slot, r["scattering"], cfg,
+            kind=EV_SCATTER, hit=-1, container=r["container"], adjacent=-1,
+            component=r["comp_id"], source=r["source"], pos3=pos3,
+            dir3=dir3, normal3=None, wavelength=r["wav"],
+            travelled=r["trav"], duration=r["dur"],
+        )
+        log, nevents = _record(
+            log, nevents, slot, r["reacting"], cfg,
+            kind=EV_REACT, hit=-1, container=r["container"], adjacent=-1,
+            component=r["comp_id"], source=r["source"], pos3=pos3,
+            dir3=dir3, normal3=None, wavelength=r["wav"],
+            travelled=r["trav"], duration=r["dur"],
+        )
+        log, nevents = _record(
+            log, nevents, slot, r["losing"], cfg,
+            kind=EV_NONRADIATIVE, hit=-1, container=r["container"],
+            adjacent=-1, component=r["comp_id"], source=r["source"],
+            pos3=pos3, dir3=dir3, normal3=None, wavelength=r["wav"],
+            travelled=r["trav"], duration=r["dur"],
+        )
+        log, nevents = _record(
+            log, nevents, slot, r["adj_bad"], cfg,
+            kind=EV_KILL, hit=r["hit"], container=r["container"],
+            adjacent=-1, component=-1, source=r["source"], pos3=pos3,
+            dir3=dir3, normal3=None, wavelength=r["wav"],
+            travelled=r["trav"], duration=r["dur"],
+        )
+        log, nevents = _record(
+            log, nevents, slot, r["reflecting"], cfg,
+            kind=EV_REFLECT, hit=r["hit"], container=r["container"],
+            adjacent=r["adjacent"], component=-1, source=r["source"],
+            pos3=pos3, dir3=dir3, normal3=wn3, wavelength=r["wav"],
+            travelled=r["trav"], duration=r["dur"],
+        )
+        log, nevents = _record(
+            log, nevents, slot, r["transmitting"], cfg,
+            kind=EV_TRANSMIT, hit=r["hit"], container=r["container"],
+            adjacent=r["adjacent"], component=-1, source=r["source"],
+            pos3=pos3, dir3=dir3, normal3=wn3, wavelength=r["wav"],
+            travelled=r["trav"], duration=r["dur"],
+        )
 
-        # Normals (per-node static geometry, then select by hit node).
-        # Also used for the EXIT tally.
-        lnx = jnp.zeros(B, f)
-        lny = jnp.zeros(B, f)
-        lnz = jnp.ones(B, f)
-        wnx = jnp.zeros(B, f)
-        wny = jnp.zeros(B, f)
-        wnz = jnp.ones(B, f)
-        ovr_mode = None
-        for n in range(N):
-            lox, loy, loz, ldx, ldy, ldz = local_frames[n]
-            if node_static[n][0] == comp.GEOM_MESH:
-                nx_n, ny_n, nz_n = mesh_normals[n]
-            else:
-                lpx = lox + t0 * ldx
-                lpy = loy + t0 * ldy
-                lpz = loz + t0 * ldz
-                nx_n, ny_n, nz_n = _local_normal_static(
-                    node_static[n][0], GP[n].astype(f), (lpx, lpy, lpz)
-                )
-            Rw = L2W[n]
-            wx = Rw[0, 0] * nx_n + Rw[0, 1] * ny_n + Rw[0, 2] * nz_n
-            wy = Rw[1, 0] * nx_n + Rw[1, 1] * ny_n + Rw[1, 2] * nz_n
-            wz = Rw[2, 0] * nx_n + Rw[2, 1] * ny_n + Rw[2, 2] * nz_n
-            here = hit == n
-            lnx = jnp.where(here, nx_n, lnx)
-            lny = jnp.where(here, ny_n, lny)
-            lnz = jnp.where(here, nz_n, lnz)
-            wnx = jnp.where(here, wx, wnx)
-            wny = jnp.where(here, wy, wny)
-            wnz = jnp.where(here, wz, wnz)
-            if node_static[n][5]:
-                mode_n = jnp.full(B, comp.OVR_NONE, jnp.int32)
-                for (mode, (ox0, oy0, oz0), atol) in node_static[n][5]:
-                    matchf = (
-                        (jnp.abs(nx_n - ox0) <= atol)
-                        & (jnp.abs(ny_n - oy0) <= atol)
-                        & (jnp.abs(nz_n - oz0) <= atol)
+        # --- score accumulation ----------------------------------------
+        if cfg.score and has_spectra:
+            cums = r["slot_vals"]
+            contribs = []
+            for c in range(n_comps):
+                terms = []
+                for n in range(N):
+                    comp_ids_n = node_static[n][3]
+                    if c not in comp_ids_n:
+                        continue
+                    k_own = comp_ids_n.index(c)
+                    a_c = cums[k_own] - (
+                        cums[k_own - 1] if k_own > 0 else 0.0
                     )
-                    mode_n = jnp.where(
-                        (mode_n < 0) & matchf, mode, mode_n
-                    )
-                if ovr_mode is None:
-                    ovr_mode = jnp.full(B, comp.OVR_NONE, jnp.int32)
-                ovr_mode = jnp.where(here, mode_n, ovr_mode)
-        if ovr_mode is None:
-            ovr_mode = jnp.full(B, comp.OVR_NONE, jnp.int32)
+                    terms.append((n, a_c))
+                a_here = jnp.zeros(B, f)
+                for n, a_c in terms:
+                    a_here = jnp.where(r["container"] == n, a_c, a_here)
+                ds = jnp.where(r["moving"], -a_here * r["advance"], 0.0)
+                ds = ds + (r["absorbed"] & (r["comp_id"] == c)).astype(f)
+                contribs.append(ds)
+            score = score + jnp.stack(contribs)
 
-        ddot = wnx * dxv + wny * dyv + wnz * dzv
-        c_in = jnp.clip(jnp.abs(ddot), 0.0, 1.0)
-        flip = jnp.where(ddot < 0.0, -1.0, 1.0)
-        nax = wnx * flip
-        nay = wny * flip
-        naz = wnz * flip
-
-        n1r = n_cont
-        n2r = _select(adjacent, NIDX, jnp.full(B, 1.0, f))
-        is_fresnel = _member(hit, fresnel_nodes)
-
-        # Fresnel reflectivity from cos(theta) — no arccos needed
-        s2 = jnp.clip(1.0 - c_in * c_in, 0.0, 1.0)
-        ratio = n1r / n2r
-        tir = (n2r < n1r) & (s2 * ratio * ratio > 1.0)
-        under = jnp.clip(1.0 - ratio * ratio * s2, 0.0, None)
-        kterm = jnp.sqrt(under)
-        rs = ((n1r * c_in - n2r * kterm) / (n1r * c_in + n2r * kterm)) ** 2
-        rp = ((n1r * kterm - n2r * c_in) / (n1r * kterm + n2r * c_in)) ** 2
-        r = jnp.where(tir, 1.0, jnp.clip(0.5 * (rs + rp), 0.0, 1.0))
-        r = jnp.where(is_fresnel, r, 0.0)
-        if any_overrides:
-            r = jnp.where(
-                (ovr_mode == OVR_MIRROR) | (ovr_mode == OVR_LAMBERTIAN), 1.0, r
-            )
-            r = jnp.where(ovr_mode == OVR_ABSORB, 0.0, r)
-
-        reflecting = surf & (u[7] < r)
-        transmitting = surf & ~reflecting
-
-        # Specular reflection about the normal (flipped along the ray)
-        two_d = 2.0 * c_in  # = 2 |d . n_along|, and d . n_along >= 0
-        rfx = dxv - two_d * nax
-        rfy = dyv - two_d * nay
-        rfz = dzv - two_d * naz
-        if any_lambertian:
-            # Lambertian about the incidence-side normal (-n_along)
-            st_l = jnp.sqrt(u[3])
-            ct_l = jnp.sqrt(jnp.clip(1.0 - u[3], 0.0, None))
-            phi_l = 2.0 * np.pi * u[4]
-            lx = st_l * jnp.cos(phi_l)
-            ly = st_l * jnp.sin(phi_l)
-            # Orthonormal basis around axis = -n_along (branch-free)
-            axx, axy, axz = -nax, -nay, -naz
-            sign = jnp.where(axz >= 0.0, 1.0, -1.0)
-            a_ = -1.0 / (sign + axz)
-            b_ = axx * axy * a_
-            t1x = 1.0 + sign * axx * axx * a_
-            t1y = sign * b_
-            t1z = -sign * axx
-            t2x = b_
-            t2y = sign + axy * axy * a_
-            t2z = -axy
-            lamx = lx * t1x + ly * t2x + ct_l * axx
-            lamy = lx * t1y + ly * t2y + ct_l * axy
-            lamz = lx * t1z + ly * t2z + ct_l * axz
-            lam_mask = ovr_mode == OVR_LAMBERTIAN
-            rfx = jnp.where(lam_mask, lamx, rfx)
-            rfy = jnp.where(lam_mask, lamy, rfy)
-            rfz = jnp.where(lam_mask, lamz, rfz)
-
-        # Refraction (normal along ray; d.n_along = c_in >= 0)
-        cterm = jnp.sqrt(jnp.clip(1.0 - ratio * ratio * (1.0 - c_in * c_in), 0.0, None))
-        scale = cterm - ratio * c_in
-        txd = ratio * dxv + scale * nax
-        tyd = ratio * dyv + scale * nay
-        tzd = ratio * dzv + scale * naz
-        pass_through = ~is_fresnel
-        if any_overrides:
-            pass_through = pass_through | (ovr_mode == OVR_ABSORB)
-        txd = jnp.where(pass_through, dxv, txd)
-        tyd = jnp.where(pass_through, dyv, tyd)
-        tzd = jnp.where(pass_through, dzv, tzd)
-
-        new_dx = jnp.where(reflecting, rfx, jnp.where(transmitting, txd, dxv))
-        new_dy = jnp.where(reflecting, rfy, jnp.where(transmitting, tyd, dyv))
-        new_dz = jnp.where(reflecting, rfz, jnp.where(transmitting, tzd, dzv))
-        dxv, dyv, dzv = new_dx, new_dy, new_dz
-
-        wn3 = None
-        if cfg.n_slots > 0:
-            wn3 = jnp.stack([wnx, wny, wnz], axis=-1)
-            log, nevents = _record(
-                log, nevents, slot, reflecting, cfg,
-                kind=EV_REFLECT, hit=hit, container=container,
-                adjacent=adjacent, component=-1, source=source, pos3=pos3(),
-                dir3=dir3(), normal3=wn3, wavelength=wav, travelled=trav,
-                duration=dur,
-            )
-            log, nevents = _record(
-                log, nevents, slot, transmitting, cfg,
-                kind=EV_TRANSMIT, hit=hit, container=container,
-                adjacent=adjacent, component=-1, source=source, pos3=pos3(),
-                dir3=dir3(), normal3=wn3, wavelength=wav, travelled=trav,
-                duration=dur,
-            )
-
-        # --- merged recorder tally ------------------------------------
-        if cfg.n_recorders > 0:
-            sel = jnp.full(B, SEL_NONE, jnp.int32)
-            tnode = jnp.full(B, -1, jnp.int32)
-            have_n = jnp.zeros(B, dtype=bool)
-            sel = jnp.where(kill_max, REC_KILLED, sel)
-            tnode = jnp.where(kill_max, container, tnode)
-            sel = jnp.where(exit_mask, REC_EXIT, sel)
-            tnode = jnp.where(exit_mask, hit, tnode)
-            have_n = have_n | exit_mask
-            sel = jnp.where(reacting, REC_REACTED, sel)
-            sel = jnp.where(losing, REC_LOST, sel)
-            tnode = jnp.where(reacting | losing, container, tnode)
-            refl_tally = reflecting & (container != hit)
-            sel = jnp.where(refl_tally, REC_REFLECTED, sel)
-            tnode = jnp.where(refl_tally, hit, tnode)
-            have_n = have_n | refl_tally
-            sel = jnp.where(
-                transmitting,
-                jnp.where(container == hit, REC_ESCAPING, REC_ENTERING),
-                sel,
-            )
-            tnode = jnp.where(transmitting, hit, tnode)
-            have_n = have_n | transmitting
-            angle = jnp.arccos(c_in)
-            t_angle = jnp.where(
-                exit_mask | reflecting | transmitting, angle, 0.0
-            )
-            # Local position in the tally node's frame (unrolled)
-            tlx = jnp.zeros(B, f)
-            tly = jnp.zeros(B, f)
-            tlz = jnp.zeros(B, f)
-            for n in range(N):
-                R = W2L[n]
-                here = tnode == n
-                tlx = jnp.where(
-                    here, R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + R[0, 3], tlx
-                )
-                tly = jnp.where(
-                    here, R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + R[1, 3], tly
-                )
-                tlz = jnp.where(
-                    here, R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + R[2, 3], tlz
-                )
-            new_tallies = _tally(
-                tallies, compiled, cfg, sel, tnode, have_n,
-                (wnx, wny, wnz), (tlx, tly, tlz), t_angle, wav, trav, dur,
-            )
-            new_tallies["fates"] = fates
-            tallies = new_tallies
-        else:
-            tallies = dict(tallies)
-            tallies["fates"] = fates
-
-        # --- liveness --------------------------------------------------
-        alive = alive & ~exit_mask & ~nonrad
-
-        # --- score termination scatter ---------------------------------
-        # When a photon terminates, fold its accumulated path score into
-        # the per-fate gradient accumulator: d(fate fraction)/d log c =
-        # E[1{fate} * score_c].
         if cfg.score:
             term = jnp.zeros(B, dtype=bool)
             fate_id = jnp.zeros(B, jnp.int32)
-            terminal = [
-                (exit_mask, EV_EXIT),
-                (losing, EV_NONRADIATIVE),
-                (reacting, EV_REACT),
-                (kill_max, EV_KILL),
-                (adj_bad, EV_KILL),
-                (no_hit_term, FATE_NO_HIT),
-            ]
-            if cfg.n_slots > 0:
-                terminal.append((budget_kill, EV_KILL))
-            for mask, fid in terminal:
+            for mask, fid in (
+                (r["exit_mask"], EV_EXIT),
+                (r["losing"], EV_NONRADIATIVE),
+                (r["reacting"], EV_REACT),
+                (r["kill_max"], EV_KILL),
+                (r["adj_bad"], EV_KILL),
+                (r["no_hit_term"], FATE_NO_HIT),
+                (budget_kill, EV_KILL),
+            ):
                 term = term | mask
                 fate_id = jnp.where(mask, fid, fate_id)
             idx = jnp.where(term, fate_id, 0)
@@ -2153,13 +1711,56 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             tallies = dict(tallies)
             tallies["fate_scores"] = fate_scores
 
+        # --- merged recorder tally ------------------------------------
+        if cfg.n_recorders > 0:
+            sel = r["sel"]
+            tnode = r["tnode"]
+            angle = jnp.where(
+                r["surface_event"], jnp.arccos(r["c_in"]), 0.0
+            )
+            tlx = jnp.zeros(B, f)
+            tly = jnp.zeros(B, f)
+            tlz = jnp.zeros(B, f)
+            for n in range(N):
+                R = W2L[n]
+                here = tnode == n
+                tlx = jnp.where(
+                    here,
+                    R[0, 0] * r["px"] + R[0, 1] * r["py"]
+                    + R[0, 2] * r["pz"] + R[0, 3],
+                    tlx,
+                )
+                tly = jnp.where(
+                    here,
+                    R[1, 0] * r["px"] + R[1, 1] * r["py"]
+                    + R[1, 2] * r["pz"] + R[1, 3],
+                    tly,
+                )
+                tlz = jnp.where(
+                    here,
+                    R[2, 0] * r["px"] + R[2, 1] * r["py"]
+                    + R[2, 2] * r["pz"] + R[2, 3],
+                    tlz,
+                )
+            new_tallies = _tally(
+                tallies, compiled, cfg, sel, tnode, r["have_n"],
+                (r["wnx"], r["wny"], r["wnz"]), (tlx, tly, tlz), angle,
+                r["wav"], r["trav"], r["dur"],
+            )
+            new_tallies["fates"] = fates
+            tallies = new_tallies
+        else:
+            tallies = dict(tallies)
+            tallies["fates"] = fates
+
+        alive = r["alive"]
         out = {
-            "px": px, "py": py, "pz": pz,
-            "dx": dxv, "dy": dyv, "dz": dzv,
-            "wav": wav,
-            "trav": trav,
-            "dur": dur,
-            "source": source,
+            "px": r["px"], "py": r["py"], "pz": r["pz"],
+            "dx": r["dx"], "dy": r["dy"], "dz": r["dz"],
+            "wav": r["wav"],
+            "trav": r["trav"],
+            "dur": r["dur"],
+            "source": r["source"],
             "alive": alive,
             "count": count,
             "step": step,
@@ -2174,21 +1775,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             out["score"] = score
 
         # --- lane regeneration -----------------------------------------
-        # Refill dead lanes with freshly emitted photons while the
-        # global budget lasts: new global ids are assigned to dead lanes
-        # in lane order via a prefix sum, each new photon's key stream
-        # is fold_in(base_key, pid) exactly as at launch, and all
-        # per-photon state (including the recorder `seen` bitmask and
-        # the event-log slot) is reset for the refilled lanes.
         if regen is not None:
-            # Shared-queue id assignment: dead lanes take the next ids
-            # in lane order via a prefix sum. (A strided
-            # pid += B assignment would avoid the cumsum, but measured
-            # ~15% slower end-to-end: fixed per-lane queues leave
-            # straggler lanes at the drain, while the shared queue
-            # load-balances perfectly. Tallies are bitwise identical
-            # either way — each photon's history is a pure function of
-            # (base_key, pid).)
             pid = state["pid"]
             nxt = state["next"]
             dead = ~alive
@@ -2203,16 +1790,16 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                 compiled, cfg, tables, (nk0, nk1), pid
             )
             zero = jnp.zeros(B, f)
-            out["px"] = jnp.where(refill, epos3[:, 0], px)
-            out["py"] = jnp.where(refill, epos3[:, 1], py)
-            out["pz"] = jnp.where(refill, epos3[:, 2], pz)
-            out["dx"] = jnp.where(refill, edir3[:, 0], dxv)
-            out["dy"] = jnp.where(refill, edir3[:, 1], dyv)
-            out["dz"] = jnp.where(refill, edir3[:, 2], dzv)
-            out["wav"] = jnp.where(refill, ewav, wav)
-            out["trav"] = jnp.where(refill, zero, trav)
-            out["dur"] = jnp.where(refill, zero, dur)
-            out["source"] = jnp.where(refill, -1, source)
+            out["px"] = jnp.where(refill, epos3[:, 0], r["px"])
+            out["py"] = jnp.where(refill, epos3[:, 1], r["py"])
+            out["pz"] = jnp.where(refill, epos3[:, 2], r["pz"])
+            out["dx"] = jnp.where(refill, edir3[:, 0], r["dx"])
+            out["dy"] = jnp.where(refill, edir3[:, 1], r["dy"])
+            out["dz"] = jnp.where(refill, edir3[:, 2], r["dz"])
+            out["wav"] = jnp.where(refill, ewav, r["wav"])
+            out["trav"] = jnp.where(refill, zero, r["trav"])
+            out["dur"] = jnp.where(refill, zero, r["dur"])
+            out["source"] = jnp.where(refill, -1, r["source"])
             out["count"] = jnp.where(refill, 0, count)
             out["alive"] = alive | refill
             out["k0"] = nk0
