@@ -290,6 +290,18 @@ class CompiledScene:
         # emission (engine/emit.py).
         self._compile_lights(scene)
 
+        # -- Chebyshev spectral surrogates -------------------------------
+        # Profiled on v5e, the two per-step spectral gathers plus their
+        # tiled-to-linear column relayouts are ~85% of a tracer step
+        # (gathers run near the hardware's ~2 ns/row limit; the physics
+        # itself is cheap VPU work). Smooth spectra — every built-in dye
+        # and most measured ones — admit a Chebyshev fit whose Clenshaw
+        # evaluation is a few hundred fused FMAs per lane and needs no
+        # gather at all. Fits are accepted only when the max error on
+        # the compile grid is below a tolerance tied to the table's own
+        # resolution; jagged spectra keep the exact gather path.
+        self._fit_chebyshev(node_meta)
+
         # Static structural metadata consumed by the tracer's unrolled
         # code generation (hashable nested tuples).
         self.node_static = tuple(
@@ -348,6 +360,88 @@ class CompiledScene:
 
         self._compile_recorders(nodes)
         self._compute_digest()
+
+    # Chebyshev surrogate acceptance: max fit error on the compile grid,
+    # relative to the table's value scale. 2e-4 is far below both the
+    # Monte-Carlo noise floor of any practical run and the error the
+    # grid resampling itself introduces versus the raw spectra.
+    CHEB_REL_TOL = 2e-4
+    CHEB_DEGREES = (8, 16, 32, 64, 96, 128)
+
+    @staticmethod
+    def _cheb_fit(values, rel_tol=None):
+        """Fit `values` (sampled on a uniform grid) with the lowest-degree
+        Chebyshev series meeting the tolerance; None if none does."""
+        from numpy.polynomial import chebyshev as _cheb
+
+        rel_tol = rel_tol or CompiledScene.CHEB_REL_TOL
+        y = np.asarray(values, dtype=np.float64)
+        t = np.linspace(-1.0, 1.0, y.shape[0])
+        scale = float(np.max(np.abs(y)))
+        if scale == 0.0:
+            return np.zeros(1)
+        tol = rel_tol * scale
+        for deg in CompiledScene.CHEB_DEGREES:
+            if deg >= y.shape[0]:
+                break
+            coef = _cheb.chebfit(t, y, deg)
+            err = float(np.max(np.abs(_cheb.chebval(t, coef) - y)))
+            if err <= tol:
+                return coef
+        return None
+
+    def _fit_chebyshev(self, node_meta):
+        """Gather-free spectral surrogates (see compile-time note above).
+
+        Sets, each independently None when any of its fits misses
+        tolerance (the tracer then keeps the exact table gather):
+          cheb_spec        {node: [W coeff arrays]} for the packed slots
+                           (cumulative attenuation, shifted emission CDFs)
+          cheb_icdf        [n_lum coeff arrays] for emission inverse CDFs
+          cheb_light_icdf  [coeff arrays] for lamp-spectrum inverse CDFs
+        """
+        L, M = self.grid_n, self.icdf_n
+        spec = {}
+        ok = True
+        for i in range(len(node_meta)):
+            K, comp_ids, lum_ordinals = node_meta[i]
+            W = K + 2 * len(lum_ordinals)
+            if W == 0 or K == 0:
+                continue
+            rows = slice(i * L, (i + 1) * L)
+            fits = []
+            for w in range(W):
+                coef = self._cheb_fit(self.spec_pack[rows, 2 * w])
+                if coef is None:
+                    ok = False
+                    break
+                fits.append(coef)
+            if not ok:
+                break
+            spec[i] = fits
+        self.cheb_spec = spec if ok else None
+
+        icdf = []
+        n_lum = self.n_lum
+        for l in range(n_lum):
+            vals = self.ems_icdf_pairs[l * M:(l + 1) * M, 0]
+            coef = self._cheb_fit(vals)
+            if coef is None:
+                icdf = None
+                break
+            icdf.append(coef)
+        self.cheb_icdf = icdf
+
+        light = []
+        rows = self.light_icdf_pairs.shape[0] // M if M else 0
+        for l in range(rows):
+            vals = self.light_icdf_pairs[l * M:(l + 1) * M, 0]
+            coef = self._cheb_fit(vals)
+            if coef is None:
+                light = None
+                break
+            light.append(coef)
+        self.cheb_light_icdf = light
 
     def _compute_digest(self):
         """Content digest so identical scenes share jit/table caches

@@ -112,6 +112,19 @@ def _key_words(base_key):
     data = jax.random.key_data(base_key).astype(jnp.uint32)
     return data[..., 0], data[..., 1]
 
+def _clenshaw(t, coef):
+    """Evaluate a Chebyshev series at t in [-1, 1] (Clenshaw recurrence).
+
+    Coefficients are baked in as program constants, so the whole
+    evaluation is a chain of fused multiply-adds — the gather-free
+    spectral path (see CompiledScene._fit_chebyshev)."""
+    b1 = jnp.zeros_like(t)
+    b2 = b1
+    for k in range(len(coef) - 1, 0, -1):
+        b1, b2 = 2.0 * t * b1 - b2 + float(coef[k]), b1
+    return t * b1 - b2 + float(coef[0])
+
+
 from pvtrace_tpu.engine import compiler as comp
 
 # Matches the reference kernel's constants (_kernel.pyx:29-34)
@@ -610,11 +623,17 @@ def _device_emit(compiled, cfg, tables, keys, photon_ids):
             w_l = jnp.full(B, wspec[1], f)
         else:
             row = int(wspec[1])
-            gpos = u[0] * (M - 1)
-            j0 = jnp.clip(gpos.astype(jnp.int32), 0, M - 2)
-            gfrac = gpos - j0.astype(f)
-            pair = tables["light_icdf_pairs"][row * M + j0]
-            w_l = pair[:, 0] + gfrac * (pair[:, 1] - pair[:, 0])
+            cheb_light = getattr(compiled, "cheb_light_icdf", None)
+            if cheb_light is not None and not bool(
+                os.environ.get("PVTRACE_TPU_NO_CHEB", "")
+            ):
+                w_l = _clenshaw(2.0 * u[0] - 1.0, cheb_light[row])
+            else:
+                gpos = u[0] * (M - 1)
+                j0 = jnp.clip(gpos.astype(jnp.int32), 0, M - 2)
+                gfrac = gpos - j0.astype(f)
+                pair = tables["light_icdf_pairs"][row * M + j0]
+                w_l = pair[:, 0] + gfrac * (pair[:, 1] - pair[:, 0])
         # position (local frame)
         kind = pspec[0]
         if kind == C.POS_DEFAULT:
@@ -1289,6 +1308,47 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         prow = icdf_pairs[lumidx * M + j0]  # [Bl, 2]
         return prow[:, 0] + gfrac * (prow[:, 1] - prow[:, 0])
 
+    # Chebyshev surrogates (compiler-fitted, gather-free): measured 8x
+    # cheaper than the row gather + column extraction on v5e — the
+    # lookup drops from ~85% of a step to noise. Enabled whenever the
+    # compiler's fits met tolerance; PVTRACE_TPU_NO_CHEB forces the
+    # exact table-gather path (note the tracer cache keys on the scene
+    # digest + config, so flip it before the first trace of a scene).
+    no_cheb = bool(os.environ.get("PVTRACE_TPU_NO_CHEB", ""))
+    cheb_spec = getattr(compiled, "cheb_spec", None)
+    cheb_icdf = getattr(compiled, "cheb_icdf", None)
+
+    def spec_slots_cheb(container, i0, frac):
+        t = (i0.astype(f) + frac) * (2.0 / (L - 1)) - 1.0
+        out = []
+        for w in range(compiled.pack_width):
+            acc = jnp.zeros_like(t)
+            for n in comp_nodes:
+                fits = cheb_spec.get(n)
+                if fits is None or w >= len(fits):
+                    continue
+                val = _clenshaw(t, fits[w])
+                if len(comp_nodes) == 1:
+                    acc = val  # other containers never read this slot
+                else:
+                    acc = jnp.where(container == n, val, acc)
+            out.append(acc)
+        return out
+
+    def icdf_cheb(lumidx, gamma):
+        tg = 2.0 * gamma - 1.0
+        vals = [_clenshaw(tg, c) for c in cheb_icdf]
+        return _select(lumidx, vals, jnp.zeros_like(gamma))
+
+    spec_slots_fn = (
+        spec_slots_cheb if (cheb_spec is not None and not no_cheb)
+        else spec_slots_gather
+    )
+    icdf_fn = (
+        icdf_cheb if (cheb_icdf is not None and cheb_icdf != [] and not no_cheb)
+        else icdf_gather
+    )
+
     def make_matmul_interps(spec_vals_ref, icdf_vals_ref):
         """Gather-free interpolation for the Pallas kernel: one-hot
         interpolation weights hit the MXU against VMEM-resident value
@@ -1580,7 +1640,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             state["dx"], state["dy"], state["dz"],
             state["wav"], state["trav"], state["dur"],
             state["source"], alive1, count,
-            spec_slots_gather, icdf_gather, want_extras=True,
+            spec_slots_fn, icdf_fn, want_extras=True,
         )
         pos3 = jnp.stack([r["px"], r["py"], r["pz"]], axis=-1)
         dir3 = jnp.stack([r["dx"], r["dy"], r["dz"]], axis=-1)
@@ -1877,7 +1937,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                     state["dx"], state["dy"], state["dz"],
                     state["wav"], state["trav"], state["dur"],
                     state["source"], alive, count,
-                    spec_slots_gather, icdf_gather,
+                    spec_slots_fn, icdf_fn,
                 )
 
         loop_body = lambda s: body_fast(s, step_fn)  # noqa: E731
