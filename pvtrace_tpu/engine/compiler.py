@@ -366,12 +366,29 @@ class CompiledScene:
     # Monte-Carlo noise floor of any practical run and the error the
     # grid resampling itself introduces versus the raw spectra.
     CHEB_REL_TOL = 2e-4
-    CHEB_DEGREES = (8, 16, 32, 64, 96, 128)
+    CHEB_DEGREES = (8, 16, 32, 64, 96, 128, 192, 256)
+    # Log-space fallback acceptance: max POINTWISE-relative error of the
+    # reconstruction. Attenuation spectra (steep absorption cliff onto a
+    # near-zero plateau, e.g. every real dye) defeat plain polynomial
+    # fits, but are smooth in log space; pointwise-relative accuracy is
+    # also the physically right metric for an absorption coefficient: a
+    # relative error e on every component coefficient bounds the
+    # relative error of the total attenuation (free-path sampling) AND
+    # of every roulette probability by e. 2.5e-3 keeps all systematic
+    # fate-fraction shifts well under the 0.5% validation target;
+    # clipped-Gaussian dye spectra have a kink at the clip boundary
+    # that floors polynomial fits around ~2e-3 regardless of degree.
+    CHEB_LOG_REL_TOL = 2.5e-3
 
     @staticmethod
     def _cheb_fit(values, rel_tol=None):
         """Fit `values` (sampled on a uniform grid) with the lowest-degree
-        Chebyshev series meeting the tolerance; None if none does."""
+        Chebyshev series meeting the tolerance; None if none does.
+
+        Returns a fit descriptor ``(kind, coef, offset)``:
+          ("lin", coef, 0.0)  -> y ≈ clenshaw(t, coef)
+          ("log", coef, off)  -> y ≈ exp(clenshaw(t, coef)) - off
+        """
         from numpy.polynomial import chebyshev as _cheb
 
         rel_tol = rel_tol or CompiledScene.CHEB_REL_TOL
@@ -379,7 +396,7 @@ class CompiledScene:
         t = np.linspace(-1.0, 1.0, y.shape[0])
         scale = float(np.max(np.abs(y)))
         if scale == 0.0:
-            return np.zeros(1)
+            return ("lin", np.zeros(1), 0.0)
         tol = rel_tol * scale
         for deg in CompiledScene.CHEB_DEGREES:
             if deg >= y.shape[0]:
@@ -387,7 +404,19 @@ class CompiledScene:
             coef = _cheb.chebfit(t, y, deg)
             err = float(np.max(np.abs(_cheb.chebval(t, coef) - y)))
             if err <= tol:
-                return coef
+                return ("lin", coef, 0.0)
+        if float(np.min(y)) >= 0.0:
+            off = max(1e-3 * scale, 1e-30)
+            ly = np.log(y + off)
+            floor = np.maximum(y, off)
+            for deg in CompiledScene.CHEB_DEGREES:
+                if deg >= y.shape[0]:
+                    break
+                coef = _cheb.chebfit(t, ly, deg)
+                rec = np.exp(_cheb.chebval(t, coef)) - off
+                rel = float(np.max(np.abs(rec - y) / floor))
+                if rel <= CompiledScene.CHEB_LOG_REL_TOL:
+                    return ("log", coef, off)
         return None
 
     def _fit_chebyshev(self, node_meta):
@@ -395,27 +424,44 @@ class CompiledScene:
 
         Sets, each independently None when any of its fits misses
         tolerance (the tracer then keeps the exact table gather):
-          cheb_spec        {node: [W coeff arrays]} for the packed slots
-                           (cumulative attenuation, shifted emission CDFs)
-          cheb_icdf        [n_lum coeff arrays] for emission inverse CDFs
-          cheb_light_icdf  [coeff arrays] for lamp-spectrum inverse CDFs
+          cheb_comp        [fit per component] for the component
+                           attenuation coefficients (log-space capable,
+                           so every cumulative slot is a short sum of
+                           pointwise-relative-accurate terms)
+          cheb_spec        {node: [W slot descriptors]} — cumulative
+                           slots are ("cum", comp_ids) references into
+                           cheb_comp; emission-CDF slots are direct fits
+          cheb_icdf        [n_lum fits] for emission inverse CDFs
+          cheb_light_icdf  [fits] for lamp-spectrum inverse CDFs
         """
         L, M = self.grid_n, self.icdf_n
-        spec = {}
+
+        comp_fits = []
         ok = True
+        for c in range(self.n_components):
+            fit = self._cheb_fit(self.comp_coef[c])
+            if fit is None:
+                ok = False
+                break
+            comp_fits.append(fit)
+        self.cheb_comp = comp_fits if ok else None
+
+        spec = {}
         for i in range(len(node_meta)):
+            if not ok:
+                break
             K, comp_ids, lum_ordinals = node_meta[i]
             W = K + 2 * len(lum_ordinals)
             if W == 0 or K == 0:
                 continue
             rows = slice(i * L, (i + 1) * L)
-            fits = []
-            for w in range(W):
-                coef = self._cheb_fit(self.spec_pack[rows, 2 * w])
-                if coef is None:
+            fits = [("cum", tuple(comp_ids[: k + 1]), 0.0) for k in range(K)]
+            for w in range(K, W):
+                fit = self._cheb_fit(self.spec_pack[rows, 2 * w])
+                if fit is None:
                     ok = False
                     break
-                fits.append(coef)
+                fits.append(fit)
             if not ok:
                 break
             spec[i] = fits

@@ -125,6 +125,19 @@ def _clenshaw(t, coef):
     return t * b1 - b2 + float(coef[0])
 
 
+def _eval_fit(t, fit):
+    """Evaluate a compiler fit descriptor (kind, coef, offset) at t.
+
+    "lin": plain Chebyshev series; "log": exp(series) - offset (the
+    log-space surrogate for cliff-and-plateau attenuation spectra,
+    see CompiledScene._cheb_fit)."""
+    kind, coef, off = fit
+    v = _clenshaw(t, coef)
+    if kind == "log":
+        v = jnp.exp(v) - float(off)
+    return v
+
+
 from pvtrace_tpu.engine import compiler as comp
 
 # Matches the reference kernel's constants (_kernel.pyx:29-34)
@@ -627,7 +640,7 @@ def _device_emit(compiled, cfg, tables, keys, photon_ids):
             if cheb_light is not None and not bool(
                 os.environ.get("PVTRACE_TPU_NO_CHEB", "")
             ):
-                w_l = _clenshaw(2.0 * u[0] - 1.0, cheb_light[row])
+                w_l = _eval_fit(2.0 * u[0] - 1.0, cheb_light[row])
             else:
                 gpos = u[0] * (M - 1)
                 j0 = jnp.clip(gpos.astype(jnp.int32), 0, M - 2)
@@ -1316,10 +1329,20 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
     # digest + config, so flip it before the first trace of a scene).
     no_cheb = bool(os.environ.get("PVTRACE_TPU_NO_CHEB", ""))
     cheb_spec = getattr(compiled, "cheb_spec", None)
+    cheb_comp = getattr(compiled, "cheb_comp", None)
     cheb_icdf = getattr(compiled, "cheb_icdf", None)
 
     def spec_slots_cheb(container, i0, frac):
         t = (i0.astype(f) + frac) * (2.0 / (L - 1)) - 1.0
+        # Each component coefficient is evaluated once per step and
+        # shared by every cumulative slot that references it.
+        comp_cache = {}
+
+        def comp_val(cid):
+            if cid not in comp_cache:
+                comp_cache[cid] = _eval_fit(t, cheb_comp[cid])
+            return comp_cache[cid]
+
         out = []
         for w in range(compiled.pack_width):
             acc = jnp.zeros_like(t)
@@ -1327,7 +1350,13 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                 fits = cheb_spec.get(n)
                 if fits is None or w >= len(fits):
                     continue
-                val = _clenshaw(t, fits[w])
+                fit = fits[w]
+                if fit[0] == "cum":
+                    val = comp_val(fit[1][0])
+                    for cid in fit[1][1:]:
+                        val = val + comp_val(cid)
+                else:
+                    val = _eval_fit(t, fit)
                 if len(comp_nodes) == 1:
                     acc = val  # other containers never read this slot
                 else:
@@ -1337,7 +1366,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
 
     def icdf_cheb(lumidx, gamma):
         tg = 2.0 * gamma - 1.0
-        vals = [_clenshaw(tg, c) for c in cheb_icdf]
+        vals = [_eval_fit(tg, c) for c in cheb_icdf]
         return _select(lumidx, vals, jnp.zeros_like(gamma))
 
     spec_slots_fn = (
