@@ -220,11 +220,13 @@ def _get_tables(compiled, dtype):
 class _RoundRobinSources:
     """Lazy `sources` sequence: light names cycled over the bundle
     (building a python list of 10^6+ strings is host-time we don't
-    spend)."""
+    spend). `offset` is the bundle's global photon-index offset so
+    streamed bundles label sources exactly like one big call."""
 
-    def __init__(self, names, n):
+    def __init__(self, names, n, offset=0):
         self._names = list(names)
         self._n = n
+        self._offset = offset
 
     def __len__(self):
         return self._n
@@ -236,7 +238,7 @@ class _RoundRobinSources:
             i += self._n
         if not 0 <= i < self._n:
             raise IndexError(i)
-        return self._names[i % len(self._names)]
+        return self._names[(self._offset + i) % len(self._names)]
 
 
 def _get_tracer(compiled, cfg, lanes=None):
@@ -273,11 +275,12 @@ def _get_tracer(compiled, cfg, lanes=None):
 
         if compiled.lights_supported:
 
-            def traced(tables, n_rays, seed):
+            def traced(tables, n_rays, offset, seed):
                 k = jax.random.PRNGKey(seed[0])
                 return pack(
                     *tracer_module.trace_bundle_device_emit(
-                        compiled, cfg, tables, k, n_rays, lanes=lanes
+                        compiled, cfg, tables, k, n_rays, lanes=lanes,
+                        index_offset=offset,
                     )
                 )
 
@@ -290,11 +293,12 @@ def _get_tracer(compiled, cfg, lanes=None):
                 fn = jax.jit(traced, static_argnums=(1,))
         else:
 
-            def traced(tables, p, d, w, seed):
+            def traced(tables, p, d, w, offset, seed):
                 k = jax.random.PRNGKey(seed[0])
                 return pack(
                     *tracer_module.trace_bundle(
-                        compiled, cfg, tables, p, d, w, k
+                        compiled, cfg, tables, p, d, w, k,
+                        index_offset=offset,
                     )
                 )
 
@@ -309,6 +313,7 @@ def simulate(
     seed=None,
     workers=None,
     maxsteps=1000,
+    maxpathlength=None,
     max_events=128,
     emit_method="kT",
     record_every=1,
@@ -317,6 +322,7 @@ def simulate(
     lanes="auto",
     score=False,
     pallas="auto",
+    index_offset=0,
 ):
     """Trace `num_rays` through `scene` with the device engine.
 
@@ -362,6 +368,7 @@ def simulate(
         n_rays=num_rays,
         dtype=dtype,
         maxsteps=maxsteps,
+        maxpathlength=maxpathlength,
         max_events=max_events,
         record_every=record_every,
         emit_method=emit_method,
@@ -380,12 +387,15 @@ def simulate(
         compiled, cfg, lanes=lanes if compiled.lights_supported else None
     )
     seed_arr = np.asarray([seed], dtype=np.uint32)
+    offset_arr = jnp.asarray(index_offset, jnp.uint32)
 
     if compiled.lights_supported:
         # Device-side emission: no host sampling, no bundle transfer.
-        sources = _RoundRobinSources(compiled.light_names, num_rays)
+        sources = _RoundRobinSources(
+            compiled.light_names, num_rays, offset=index_offset
+        )
         tic = time.perf_counter()
-        ints_dev, floats_dev, log = fn(tables, num_rays, seed_arr)
+        ints_dev, floats_dev, log = fn(tables, num_rays, offset_arr, seed_arr)
         jax.block_until_ready(ints_dev)
         elapsed = time.perf_counter() - tic
     else:
@@ -398,6 +408,7 @@ def simulate(
             jnp.asarray(positions.astype(dtype)),
             jnp.asarray(directions.astype(dtype)),
             jnp.asarray(wavelengths.astype(dtype)),
+            offset_arr,
             seed_arr,
         )
         jax.block_until_ready(ints_dev)
@@ -442,10 +453,17 @@ def simulate(
 def simulate_stream(scene, num_rays, bundle=50000, seed=None, **kwargs):
     """Trace in bundles, yielding (EngineResult, rays_traced_so_far).
 
-    Bundles use consecutive per-ray seed offsets (fold-in of the bundle
-    start index), so the union of the streamed results is identical in
-    distribution to a single `simulate` call. Accumulate recorder
-    tallies across bundles by summing the `rec_*` arrays.
+    Exact streamed union (parity with the reference's consecutive
+    per-ray seed offsets, reference engine/api.py:249-264): every bundle
+    shares ONE base seed and passes its global start index as
+    ``index_offset``, and each photon's entire random stream is a pure
+    function of (seed, global photon id). The union of the streamed
+    results therefore equals a single `simulate(num_rays)` call exactly:
+    integer tallies (counts, crossings, histogram bins, fates) are
+    bitwise identical, float moment sums agree up to summation order,
+    and recorded histories cover the same global every-k-th photons.
+    Accumulate recorder tallies across bundles by summing the `rec_*`
+    arrays.
     """
     if seed is None:
         seed = int(np.random.randint(0, 2 ** 31 - 1))
@@ -456,7 +474,8 @@ def simulate_stream(scene, num_rays, bundle=50000, seed=None, **kwargs):
     while traced < num_rays:
         n = min(bundle, num_rays - traced)
         result = simulate(
-            scene, n, seed=int(seed) + traced, compiled=compiled, **kwargs
+            scene, n, seed=int(seed), index_offset=traced,
+            compiled=compiled, **kwargs
         )
         traced += n
         yield result, traced

@@ -5,10 +5,11 @@ The reference has no formal checkpointing; its resumability comes from
 (reference ``engine/api.py:249-264``) and from the CLI appending events
 to SQLite as they happen (``cli/main.py:154-158``). This module makes
 that design explicit: a run is a sequence of idempotent bundles, and the
-checkpoint is (accumulated tallies, seed, bundle cursor). Because
-bundle ``k`` is fully determined by ``seed + k*bundle``, resuming from a
-checkpoint reproduces bit-for-bit the same results as an uninterrupted
-run — there is nothing else to save.
+checkpoint is (accumulated tallies, seed, bundle cursor). Because every
+photon's random stream is a pure function of (seed, global photon id)
+and bundle ``k`` owns photon ids ``[k*bundle, (k+1)*bundle)``, resuming
+from a checkpoint reproduces the same results as an uninterrupted run —
+there is nothing else to save.
 
 Checkpoints are written atomically (tmp file + rename) after every
 bundle, so a crash at any point loses at most one bundle of work.
@@ -176,8 +177,10 @@ def simulate_checkpointed(
 
     If `checkpoint` exists and `resume` is true, the run continues from
     the saved cursor; the union of the two partial runs is identical to
-    an uninterrupted run with the same seed (bundle k is seeded
-    ``seed + k*bundle`` exactly as ``simulate_stream`` does).
+    an uninterrupted run with the same seed (bundle k passes its global
+    start index as ``index_offset`` under ONE base seed, exactly as
+    ``simulate_stream`` does, so every photon's stream is a pure
+    function of (seed, global photon id)).
 
     `stop_after_bundles` bounds how many bundles this call traces
     (for staged runs and tests); the checkpoint stays resumable.
@@ -233,7 +236,7 @@ def simulate_checkpointed(
             break
         n = min(bundle, num_rays - state.traced)
         result = simulate(
-            scene, n, seed=state.seed + state.traced,
+            scene, n, seed=state.seed, index_offset=state.traced,
             compiled=compiled, **kwargs,
         )
         n_rec = max(compiled.n_recorders, 1)

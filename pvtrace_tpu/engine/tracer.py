@@ -184,11 +184,12 @@ class TraceConfig(NamedTuple):
     score: bool = False
     n_comps: int = 0
     pallas: bool = False
+    maxpathlength: float = _INF
 
 
 def make_config(compiled, n_rays, dtype=np.float32, maxsteps=1000,
                 max_events=128, record_every=1, emit_method="kT",
-                score=False, use_pallas="auto"):
+                score=False, use_pallas="auto", maxpathlength=None):
     if record_every > 0:
         n_slots = (n_rays + record_every - 1) // record_every
     else:
@@ -216,21 +217,28 @@ def make_config(compiled, n_rays, dtype=np.float32, maxsteps=1000,
         score=bool(score),
         n_comps=int(compiled.n_components),
         pallas=_resolve_pallas(use_pallas, n_slots, score, dtype),
+        maxpathlength=(
+            _INF if maxpathlength is None else float(maxpathlength)
+        ),
     )
 
 
 def _resolve_pallas(use_pallas, n_slots, score, dtype):
-    """The Pallas step covers the tallies-only f32 fast path; event-log
-    recording and score accumulation stay on the XLA body.
+    """Pallas here means the MEGAKERNEL: the whole regeneration trace
+    loop inside one pallas_call, photon state resident in VMEM from
+    emission to budget exhaustion, spectral surrogates baked in as FMA
+    constants (no tables, no gathers), per-block refill queues with
+    MXU triangular-matmul prefix sums.
 
-    Status: EXPERIMENTAL, opt-in (`pallas=True`). The hand-fused step
-    kernel is correct (bit-identical to the XLA core in interpret mode,
-    statistically identical on TPU) but measured ~25% slower than the
-    XLA fast body on v5e — Mosaic's scoped-VMEM codegen for this very
-    wide elementwise program (plus the one-hot MXU interpolation
-    replacing unsupported vector gathers) does not yet beat XLA's
-    fusions, and block sizes >= 4096 exceed the 16 MB scoped-VMEM
-    limit. "auto" therefore resolves to False everywhere.
+    Status: EXPERIMENTAL, opt-in (`pallas=True`). Correct — exact fate
+    agreement with the XLA body in interpret mode, statistical
+    agreement on TPU — but measured ~0.7x the XLA while-loop body on
+    v5e at every block size (1024..8192), which also demonstrates the
+    XLA body is compute-bound, not HBM-bound: removing every HBM
+    round-trip did not help, Mosaic simply emits this ~3k-op elementwise
+    body less efficiently than XLA's fusion pipeline. "auto" therefore
+    resolves to False everywhere. Event-log recording, score
+    accumulation, recorders and meshes always use the XLA body.
     """
     eligible = (
         n_slots == 0 and not score and np.dtype(dtype) == np.float32
@@ -600,12 +608,17 @@ def _photon_keys(base_key, B, index_offset):
     return photon_ids, (pk0, pk1)
 
 
-def _device_emit(compiled, cfg, tables, keys, photon_ids):
+def _device_emit_flat(compiled, cfg, tables, keys, photon_ids):
     """Sample the initial bundle on device from the compiled light
     sources (static samplers; emission counter stream). Counterpart of
-    the host bundle emission (engine/emit.py) with zero host work."""
+    the host bundle emission (engine/emit.py) with zero host work.
+
+    Shape-agnostic (B is the input's shape tuple) and returns unstacked
+    component triples so the Pallas megakernel can call it on tiled
+    state without relayouts. `tables` may be None when every light is
+    constant-wavelength or has a Chebyshev-fitted spectrum."""
     f = cfg.dtype
-    B = photon_ids.shape[0]
+    B = photon_ids.shape
     M = cfg.icdf_n
     pk0, pk1 = keys
     zero_c = jnp.zeros(B, jnp.uint32)
@@ -720,6 +733,14 @@ def _device_emit(compiled, cfg, tables, keys, photon_ids):
             dyv = jnp.where(here, wyd, dyv)
             dzv = jnp.where(here, wzd, dzv)
             wav = jnp.where(here, w_l, wav)
+    return (px, py, pz), (dxv, dyv, dzv), wav
+
+
+def _device_emit(compiled, cfg, tables, keys, photon_ids):
+    """Stacked [B, 3] wrapper over `_device_emit_flat` for the XLA body."""
+    (px, py, pz), (dxv, dyv, dzv), wav = _device_emit_flat(
+        compiled, cfg, tables, keys, photon_ids
+    )
     pos3 = jnp.stack([px, py, pz], axis=-1)
     dir3 = jnp.stack([dxv, dyv, dzv], axis=-1)
     return pos3, dir3, wav
@@ -743,9 +764,18 @@ def trace_bundle_device_emit(compiled, cfg: TraceConfig, tables, base_key,
     if lanes is None or (
         isinstance(n_rays, int) and lanes >= n_rays
     ):
-        photon_ids, keys = _photon_keys(base_key, n_rays, index_offset)
-        pos3, dir3, wav = _device_emit(compiled, cfg, tables, keys, photon_ids)
-        return _run(compiled, cfg, tables, photon_ids, keys, pos3, dir3, wav)
+        if cfg.pallas and isinstance(n_rays, int):
+            # The megakernel always runs in regeneration mode; with
+            # budget == wavefront the refill logic simply never fires.
+            lanes = n_rays
+        else:
+            photon_ids, keys = _photon_keys(base_key, n_rays, index_offset)
+            pos3, dir3, wav = _device_emit(
+                compiled, cfg, tables, keys, photon_ids
+            )
+            return _run(
+                compiled, cfg, tables, photon_ids, keys, pos3, dir3, wav
+            )
     # `n_rays` may be a traced scalar here: the budget only appears in
     # comparisons, so one compiled program serves any photon count.
     photon_ids, keys = _photon_keys(base_key, lanes, index_offset)
@@ -813,12 +843,18 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
     wav0 = wavelengths.astype(f)
 
     if cfg.record_every > 0:
+        # Slots are relative to the first recorded pid >= the bundle's
+        # index offset, so streamed bundles (exact-union mode) record
+        # the same global every-k-th photons a single big call would.
+        re_u = jnp.uint32(cfg.record_every)
+        first_rec = (photon_ids[0] + re_u - 1) // re_u * re_u
         slot = jnp.where(
-            photon_ids % cfg.record_every == 0,
-            (photon_ids // cfg.record_every).astype(jnp.int32),
+            photon_ids % re_u == 0,
+            ((photon_ids - first_rec) // re_u).astype(jnp.int32),
             cfg.n_slots,
         )
     else:
+        first_rec = jnp.uint32(0)
         slot = jnp.full(B, cfg.n_slots, dtype=jnp.int32)
 
     log = _empty_log(cfg)
@@ -885,7 +921,10 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
     def physics_core(u, px, py, pz, dxv, dyv, dzv, wav, trav, dur,
                      source, alive, count, spec_slots_fn, icdf_fn,
                      want_extras=False):
-        Bl = px.shape[0]
+        # Shape tuple, not a width: the core is shape-agnostic so the
+        # same code runs on [B] wavefronts (XLA body) and on
+        # [blk/128, 128] tiles inside the Pallas megakernel.
+        Bl = px.shape
         inf = jnp.full(Bl, _INF, f)
         t1 = inf
         n1 = jnp.zeros(Bl, jnp.int32)
@@ -954,7 +993,11 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         no_hit_term = alive & no_hit
         alive = alive & ~no_hit
 
+        # KILL on step cap or pathlength cap, checked at the top of the
+        # event loop exactly like the oracle (photon_tracer.step_forward)
         kill_max = alive & (count > cfg.maxsteps)
+        if np.isfinite(cfg.maxpathlength):
+            kill_max = kill_max | (alive & (trav > cfg.maxpathlength))
         alive = alive & ~kill_max
 
         n_cont = _select(container, NIDX, jnp.full(Bl, 1.0, f))
@@ -1378,137 +1421,210 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         else icdf_gather
     )
 
-    def make_matmul_interps(spec_vals_ref, icdf_vals_ref):
-        """Gather-free interpolation for the Pallas kernel: one-hot
-        interpolation weights hit the MXU against VMEM-resident value
-        tables (Mosaic has no vectorized int gather). All but two
-        weights per lane are exactly zero, so the result matches the
-        gather+lerp formulation."""
+    # -- Pallas megakernel -------------------------------------------------
+    #
+    # The XLA while-loop body measures ~11 ns/lane/step on v5e — an
+    # order of magnitude over its compute roofline (~1 ns), because
+    # every fusion boundary round-trips [B] intermediates through HBM.
+    # The megakernel runs the ENTIRE regeneration trace loop inside one
+    # pallas_call: the grid walks lane blocks; each block keeps its
+    # photon state resident in VMEM from first emission to budget
+    # exhaustion and writes back only its fate counters. The spectral
+    # path must be gather-free (Chebyshev surrogates baked in as FMA
+    # constants — Mosaic has no vectorized gather), which the compiler
+    # guarantees via `cheb_*`. State is [blk/128, 128]-shaped to match
+    # the f32 tile; `physics_core` is shape-agnostic.
+    #
+    # Photon->lane assignment: block b owns the contiguous pid range
+    # [offset + b*per, offset + (b+1)*per) (per = cdiv(budget, blocks));
+    # dead lanes refill from the block's own queue, with refill ranks
+    # from an in-block prefix sum done as two small triangular matmuls
+    # on the MXU (Mosaic has no vector cumsum). Every photon's stream
+    # is a pure function of (seed, pid) exactly as in the XLA body, so
+    # integer tallies are invariant to the assignment change.
 
-        def spec_slots(container, i0, frac):
-            Bl = container.shape[0]
-            cols = jax.lax.broadcasted_iota(jnp.int32, (Bl, L), 1)
-            wmat = (
-                (cols == i0[:, None]).astype(f) * (1.0 - frac)[:, None]
-                + (cols == (i0 + 1)[:, None]).astype(f) * frac[:, None]
-            )
-            per_node = {}
-            for n in comp_nodes:
-                vals = spec_vals_ref[n * L:(n + 1) * L, :]  # [L, W]
-                per_node[n] = jnp.dot(
-                    wmat, vals, preferred_element_type=jnp.float32
-                ).astype(f)
-            out = []
-            for w in range(compiled.pack_width):
-                acc = jnp.zeros(Bl, f)
-                for n in comp_nodes:
-                    acc = jnp.where(container == n, per_node[n][:, w], acc)
-                out.append(acc)
-            return out
+    def _mega_light_ok():
+        C = comp.CompiledScene
+        cheb_light = getattr(compiled, "cheb_light_icdf", None)
+        for (wspec, _p, _d, _m) in compiled.light_static:
+            if wspec[0] != C.WAV_CONST and (no_cheb or not cheb_light):
+                return False
+        return True
 
-        def icdf_interp(lumidx, gamma):
-            Bl = gamma.shape[0]
-            gposf = gamma * (M - 1)
-            j0 = jnp.clip(gposf.astype(jnp.int32), 0, M - 2)
-            gfrac = gposf - j0.astype(f)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (Bl, M), 1)
-            wmat = (
-                (cols == j0[:, None]).astype(f) * (1.0 - gfrac)[:, None]
-                + (cols == (j0 + 1)[:, None]).astype(f) * gfrac[:, None]
-            )
-            allv = jnp.dot(
-                wmat, icdf_vals_ref[:], preferred_element_type=jnp.float32
-            ).astype(f)  # [Bl, n_lum]
-            return _select(
-                lumidx,
-                [allv[:, l] for l in range(max(cfg.n_lum, 1))],
-                jnp.zeros(Bl, f),
-            )
-
-        return spec_slots, icdf_interp
-
-    # -- Pallas step kernel ----------------------------------------------
-
-    _CORE_KEYS = (
-        "px", "py", "pz", "dx", "dy", "dz", "wav", "trav", "dur",
-        "source", "alive", "count",
-        "exit_mask", "losing", "reacting", "kills", "no_hit_term",
-        "sel", "tnode", "have_n", "wnx", "wny", "wnz", "c_in",
-        "surface_event",
+    mega_ok = (
+        regen is not None
+        and cfg.n_slots == 0
+        and not cfg.score
+        and cfg.n_recorders == 0
+        and not _ABLATE
+        and not compiled.mesh_data
+        and np.dtype(f) == np.float32
+        and compiled.lights_supported
+        and (not has_spectra or (cheb_spec is not None and not no_cheb))
+        and (cfg.n_lum == 0 or (bool(cheb_icdf) and not no_cheb))
+        and _mega_light_ok()
+        and B % 128 == 0
     )
-    _CORE_DTYPES = {
-        "source": jnp.int32, "alive": jnp.bool_, "count": jnp.int32,
-        "exit_mask": jnp.bool_, "losing": jnp.bool_,
-        "reacting": jnp.bool_, "kills": jnp.bool_,
-        "no_hit_term": jnp.bool_, "sel": jnp.int32, "tnode": jnp.int32,
-        "have_n": jnp.bool_, "surface_event": jnp.bool_,
-    }
 
-    def build_pallas_step(blk):
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
-        n_tables = (1 if has_spectra else 0) + (1 if cfg.n_lum > 0 else 0)
-
-        def kernel(*refs):
-            tabs = refs[:n_tables]
-            ti = 0
-            spec_vals_ref = tabs[ti] if has_spectra else None
-            ti += 1 if has_spectra else 0
-            icdf_vals_ref = tabs[ti] if cfg.n_lum > 0 else None
-            ins = refs[n_tables:n_tables + 14]
-            outs = refs[n_tables + 14:]
-            (pxr, pyr, pzr, dxr, dyr, dzr, wavr, travr, durr,
-             sourcer, aliver, countr, k0r, k1r) = ins
-            alive_in = aliver[:]
-            count_in = countr[:] + alive_in.astype(jnp.int32)
-            u = _draw8(k0r[:], k1r[:], count_in.astype(jnp.uint32), f)
-            spec_slots, icdf_interp = make_matmul_interps(
-                spec_vals_ref, icdf_vals_ref
-            )
-            result = physics_core(
-                u, pxr[:], pyr[:], pzr[:], dxr[:], dyr[:], dzr[:],
-                wavr[:], travr[:], durr[:], sourcer[:], alive_in,
-                count_in, spec_slots, icdf_interp,
-            )
-            for key, ref in zip(_CORE_KEYS, outs):
-                ref[:] = result[key].astype(ref.dtype)
-
-        blocked = pl.BlockSpec((blk,), lambda i: (i,),
-                               memory_space=pltpu.VMEM)
-        table_specs = []
-        if has_spectra:
-            table_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        if cfg.n_lum > 0:
-            table_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        out_shapes = [
-            jax.ShapeDtypeStruct((B,), _CORE_DTYPES.get(key, f))
-            for key in _CORE_KEYS
-        ]
-        import jax as _jax
-
-        interpret = _jax.default_backend() != "tpu"
-        fn = pl.pallas_call(
-            kernel,
-            grid=(B // blk,),
-            in_specs=table_specs + [blocked] * 14,
-            out_specs=[blocked] * len(_CORE_KEYS),
-            out_shape=out_shapes,
-            interpret=interpret,
-        )
-        return fn
-
-    def pallas_block_size():
-        preferred = int(os.environ.get("PVTRACE_TPU_BLK", "1024"))
-        for blk in (preferred, 2048, 1024, 512, 256, 128):
-            if B % blk == 0:
+    def _mega_block():
+        preferred = int(os.environ.get("PVTRACE_TPU_MEGABLK", "8192"))
+        for blk in (preferred, 8192, 4096, 2048, 1024, 512, 256, 128):
+            if blk % 128 == 0 and B % blk == 0 and blk <= B:
                 return blk
         return None
 
+    def _run_megakernel(blk):
+        import jax as _jax
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        n_blocks = B // blk
+        R = blk // 128
+        regen_base_key, regen_total = regen
+        s0, s1 = _key_words(regen_base_key)
+        offset0 = photon_ids[0]
+        # Triangular prefix-sum operands (exact in f32 for blk <= 2^24)
+        T128 = np.triu(np.ones((128, 128), np.float32))
+        TROW = np.tril(np.ones((R, R), np.float32), -1)
+
+        def kernel(scal_ref, t128_ref, trow_ref, out_ref):
+            b = pl.program_id(0).astype(jnp.uint32)
+            ks0 = scal_ref[0, 0]
+            ks1 = scal_ref[0, 1]
+            offset = scal_ref[0, 2]
+            total = scal_ref[0, 3]
+            budget = total - offset
+            per = (budget + jnp.uint32(n_blocks - 1)) // jnp.uint32(n_blocks)
+            start = offset + b * per
+            hi = jnp.minimum(start + per, total)
+
+            rows = jax.lax.broadcasted_iota(jnp.uint32, (R, 128), 0)
+            cols = jax.lax.broadcasted_iota(jnp.uint32, (R, 128), 1)
+            lane = rows * jnp.uint32(128) + cols
+
+            def emit(pid):
+                k0, k1 = _threefry2x32(ks0, ks1, pid, jnp.zeros_like(pid))
+                (epx, epy, epz), (edx, edy, edz), ewav = _device_emit_flat(
+                    compiled, cfg, None, (k0, k1), pid
+                )
+                return (k0, k1), (epx, epy, epz), (edx, edy, edz), ewav
+
+            pid0 = start + lane
+            (k0, k1), (px0, py0, pz0), (dx0, dy0, dz0), wav0 = emit(pid0)
+            zero = jnp.zeros((R, 128), f)
+            carry = (
+                px0, py0, pz0, dx0, dy0, dz0, wav0, zero, zero,
+                jnp.full((R, 128), -1, jnp.int32),          # source
+                pid0 < hi,                                   # alive
+                jnp.zeros((R, 128), jnp.int32),              # count
+                pid0,                                        # pid
+                start + jnp.uint32(blk),                     # next
+                jnp.zeros((), jnp.int32),                    # steps
+            ) + tuple(jnp.zeros((), jnp.int32) for _ in range(N_FATES))
+
+            def cond(carry):
+                alive = carry[10]
+                return jnp.sum(alive.astype(jnp.int32)) > 0
+
+            def step(carry):
+                (px, py, pz, dxv, dyv, dzv, wav, trav, dur, source,
+                 alive, count, pid, nxt, steps) = carry[:15]
+                fates = list(carry[15:])
+                count = count + alive.astype(jnp.int32)
+                pk0, pk1 = _threefry2x32(ks0, ks1, pid, jnp.zeros_like(pid))
+                u = _draw8(pk0, pk1, count.astype(jnp.uint32), f)
+                r = physics_core(
+                    u, px, py, pz, dxv, dyv, dzv, wav, trav, dur,
+                    source, alive, count, spec_slots_fn, icdf_fn,
+                )
+                for mask, fid in (
+                    (r["exit_mask"], EV_EXIT),
+                    (r["losing"], EV_NONRADIATIVE),
+                    (r["reacting"], EV_REACT),
+                    (r["kills"], EV_KILL),
+                    (r["no_hit_term"], FATE_NO_HIT),
+                ):
+                    fates[fid] = fates[fid] + jnp.sum(mask.astype(jnp.int32))
+
+                # Refill dead lanes from the block's pid queue
+                dead = ~r["alive"]
+                dm = dead.astype(jnp.float32)
+                within = jnp.dot(
+                    dm, t128_ref[:], preferred_element_type=jnp.float32
+                )
+                row_tot = within[:, 127:128]
+                row_off = jnp.dot(
+                    trow_ref[:], row_tot, preferred_element_type=jnp.float32
+                )
+                ranks = within - dm + row_off
+                cand = nxt + ranks.astype(jnp.uint32)
+                refill = dead & (cand < hi)
+                pid = jnp.where(refill, cand, pid)
+                nxt = nxt + jnp.sum(refill.astype(jnp.uint32))
+                (nk0, nk1), (epx, epy, epz), (edx, edy, edz), ewav = emit(pid)
+                px = jnp.where(refill, epx, r["px"])
+                py = jnp.where(refill, epy, r["py"])
+                pz = jnp.where(refill, epz, r["pz"])
+                dxv = jnp.where(refill, edx, r["dx"])
+                dyv = jnp.where(refill, edy, r["dy"])
+                dzv = jnp.where(refill, edz, r["dz"])
+                wav = jnp.where(refill, ewav, r["wav"])
+                trav = jnp.where(refill, 0.0, r["trav"])
+                dur = jnp.where(refill, 0.0, r["dur"])
+                source = jnp.where(refill, -1, r["source"])
+                count = jnp.where(refill, 0, count)
+                alive = r["alive"] | refill
+                return (
+                    px, py, pz, dxv, dyv, dzv, wav, trav, dur, source,
+                    alive, count, pid, nxt, steps + 1,
+                ) + tuple(fates)
+
+            final = jax.lax.while_loop(cond, step, carry)
+            for fid in range(N_FATES):
+                out_ref[0, fid] = final[15 + fid]
+            out_ref[0, N_FATES] = final[14]  # steps
+            for pad in range(N_FATES + 1, 16):
+                out_ref[0, pad] = jnp.zeros((), jnp.int32)
+
+        scal = jnp.stack(
+            [
+                s0.astype(jnp.uint32),
+                s1.astype(jnp.uint32),
+                jnp.asarray(offset0, jnp.uint32),
+                jnp.asarray(regen_total, jnp.uint32),
+            ]
+        )[None, :]
+        interpret = _jax.default_backend() != "tpu"
+        rows = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 4), lambda b: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    (128, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (R, R), lambda b: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 16), lambda b: (b, 0), memory_space=pltpu.SMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_blocks, 16), jnp.int32),
+            interpret=interpret,
+        )(scal, jnp.asarray(T128), jnp.asarray(TROW))
+
+        tallies = _empty_tallies(cfg, B)
+        tallies["fates"] = jnp.sum(rows[:, :N_FATES], axis=0)
+        steps = jnp.max(rows[:, N_FATES])
+        counts = jnp.zeros(1, jnp.int32)
+        return tallies, _empty_log(cfg), counts, steps
+
     def body_fast(state, step_fn):
-        """Fast-path body: physics via `step_fn` (Pallas kernel or the
-        XLA physics_core), then shared tallies + regeneration. Requires
-        cfg.n_slots == 0 and not cfg.score."""
+        """Fast-path body: physics via `step_fn`, then shared tallies +
+        regeneration. Requires cfg.n_slots == 0 and not cfg.score."""
         tallies = state["tallies"]
         step = state["step"] + 1
         result = step_fn(state)
@@ -1902,8 +2018,10 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                 slot = jnp.where(
                     refill,
                     jnp.where(
-                        pid % cfg.record_every == 0,
-                        (pid // cfg.record_every).astype(jnp.int32),
+                        pid % jnp.uint32(cfg.record_every) == 0,
+                        (
+                            (pid - first_rec) // jnp.uint32(cfg.record_every)
+                        ).astype(jnp.int32),
                         cfg.n_slots,
                     ),
                     slot,
@@ -1926,48 +2044,25 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         return out
 
     fast_ok = cfg.n_slots == 0 and not cfg.score and not _ABLATE
+    if fast_ok and cfg.pallas and mega_ok:
+        blk = _mega_block()
+        if blk is not None:
+            return _run_megakernel(blk)
     if fast_ok:
-        blk = pallas_block_size()
-        if cfg.pallas and blk is not None and not compiled.mesh_data:
-            kernel_fn = build_pallas_step(blk)
-            table_args = []
-            if has_spectra:
-                # Even columns of the packed pairs are the per-grid
-                # values; the kernel interpolates them directly.
-                table_args.append(spec_pack[:, 0::2].astype(jnp.float32))
-            if cfg.n_lum > 0:
-                table_args.append(
-                    icdf_pairs[:, 0]
-                    .reshape(max(cfg.n_lum, 1), M)
-                    .T.astype(jnp.float32)
-                )
 
-            def step_fn(state):
-                outs = kernel_fn(
-                    *table_args,
-                    state["px"], state["py"], state["pz"],
-                    state["dx"], state["dy"], state["dz"],
-                    state["wav"], state["trav"], state["dur"],
-                    state["source"], state["alive"], state["count"],
-                    state["k0"], state["k1"],
-                )
-                return dict(zip(_CORE_KEYS, outs))
-
-        else:
-
-            def step_fn(state):
-                alive = state["alive"]
-                count = state["count"] + alive.astype(jnp.int32)
-                u = _draw8(
-                    state["k0"], state["k1"], count.astype(jnp.uint32), f
-                )
-                return physics_core(
-                    u, state["px"], state["py"], state["pz"],
-                    state["dx"], state["dy"], state["dz"],
-                    state["wav"], state["trav"], state["dur"],
-                    state["source"], alive, count,
-                    spec_slots_fn, icdf_fn,
-                )
+        def step_fn(state):
+            alive = state["alive"]
+            count = state["count"] + alive.astype(jnp.int32)
+            u = _draw8(
+                state["k0"], state["k1"], count.astype(jnp.uint32), f
+            )
+            return physics_core(
+                u, state["px"], state["py"], state["pz"],
+                state["dx"], state["dy"], state["dz"],
+                state["wav"], state["trav"], state["dur"],
+                state["source"], alive, count,
+                spec_slots_fn, icdf_fn,
+            )
 
         loop_body = lambda s: body_fast(s, step_fn)  # noqa: E731
     else:

@@ -317,3 +317,91 @@ class TestStream:
             rays = traced
         assert rays == 500
         assert 350 < total <= 500
+
+    def test_stream_union_is_exact(self):
+        """The union of streamed bundles equals one big call EXACTLY
+        (integer tallies bitwise) — the reference guarantee
+        (reference engine/api.py:249-264), achieved with one base seed
+        + per-bundle index offsets so each photon's stream is a pure
+        function of (seed, global photon id)."""
+        scene, lsc = make_lsc_scene()
+        lsc.recorders = [
+            Recorder(
+                "in",
+                event="entering",
+                histograms=[Histogram("wavelength", 400, 800, 20)],
+            ),
+            Recorder("lost", event="lost"),
+        ]
+        single = engine.simulate(
+            scene, 900, seed=17, record_every=0, lanes=None
+        )
+        acc = None
+        for result, _traced in engine.simulate_stream(
+            scene, 900, bundle=250, seed=17, record_every=0, lanes=None
+        ):
+            part = {
+                k: np.asarray(result.data[k])
+                for k in ("rec_distinct", "rec_crossings", "rec_bins",
+                          "fates")
+            }
+            if acc is None:
+                acc = part
+            else:
+                acc = {k: acc[k] + part[k] for k in acc}
+        for k in acc:
+            np.testing.assert_array_equal(
+                acc[k], np.asarray(single.data[k]), err_msg=k
+            )
+
+    def test_stream_union_is_exact_with_regeneration(self):
+        """Same exactness when bundles run in lane-regeneration mode."""
+        scene, _lsc = make_lsc_scene()
+        single = engine.simulate(
+            scene, 1000, seed=23, record_every=0, lanes=128
+        )
+        fates = np.zeros(11, dtype=np.int64)
+        for result, _traced in engine.simulate_stream(
+            scene, 1000, bundle=400, seed=23, record_every=0, lanes=128
+        ):
+            fates += np.asarray(result.data["fates"])
+        np.testing.assert_array_equal(
+            fates, np.asarray(single.data["fates"])
+        )
+
+
+class TestMaxPathlength:
+    def test_maxpathlength_matches_oracle(self):
+        """Pathlength cap kills in the device tracer match the oracle's
+        semantics (reference photon_tracer.py:163-173) statistically.
+        Uses a qy=1 LSC so TIR-trapped re-emission paths outlive the
+        cap (an open scene exits before any cap can bite)."""
+        scene, _lsc = make_lsc_scene(qy=1.0)
+        cap = 6.0
+        n_engine = 4000
+        result = engine.simulate(
+            scene, n_engine, seed=5, record_every=0, maxpathlength=cap
+        )
+        fates = result.fate_counts()
+        killed_engine = fates.get(Event.KILL, 0)
+        assert killed_engine > 0
+
+        np.random.seed(4)
+        n_oracle = 300
+        killed_oracle = 0
+        for ray in scene.emit(n_oracle):
+            history = photon_tracer.follow(scene, ray, maxpathlength=cap)
+            if history[-1][1] == Event.KILL:
+                killed_oracle += 1
+        p1 = killed_engine / n_engine
+        p2 = killed_oracle / n_oracle
+        p = (killed_engine + killed_oracle) / (n_engine + n_oracle)
+        z = (p1 - p2) / np.sqrt(
+            p * (1 - p) * (1 / n_engine + 1 / n_oracle)
+        )
+        assert abs(z) < 5, (p1, p2, z)
+
+    def test_no_cap_means_no_kills(self):
+        scene, _box = make_fresnel_scene()
+        result = engine.simulate(scene, 500, seed=5, record_every=0)
+        assert Event.KILL not in result.fate_counts()

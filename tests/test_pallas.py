@@ -1,10 +1,12 @@
-"""Pallas step-kernel equivalence tests (interpret mode on CPU).
+"""Pallas megakernel equivalence tests (interpret mode on CPU).
 
-The hand-fused Pallas step runs the same `physics_core` as the XLA
-fast body; only table interpolation differs (one-hot MXU matmuls vs
-gathers). The one-hot weights have exactly two nonzero entries per
-lane, so in interpret mode the result is BIT-IDENTICAL to the gather
-formulation — asserted here including recorders.
+The megakernel runs the ENTIRE regeneration trace loop inside one
+pallas_call (state in VMEM, Chebyshev spectral surrogates baked in as
+constants, per-block refill queues with MXU triangular prefix sums).
+Every photon's random stream is a pure function of (seed, pid) exactly
+as in the XLA body, so integer fate tallies must agree EXACTLY even
+though the photon->lane assignment differs (block-contiguous queue
+ranges vs one global queue).
 """
 import numpy as np
 
@@ -20,11 +22,11 @@ from pvtrace_tpu import (
     engine,
 )
 from pvtrace_tpu.data import lumogen_f_red_305
-from pvtrace_tpu.engine.recorder import Histogram, Recorder
+from pvtrace_tpu.engine.recorder import Recorder
 from pvtrace_tpu.light.light import ConstantWavelengthMask
 
 
-def lsc_scene():
+def lsc_scene(recorders=False):
     x = np.arange(400, 801, dtype=float)
     world = Node(
         name="world",
@@ -52,13 +54,8 @@ def lsc_scene():
         ),
         parent=world,
     )
-    lsc.recorders = [
-        Recorder(
-            "escape",
-            event="escaping",
-            histograms=[Histogram("wavelength", 400, 800, 40)],
-        )
-    ]
+    if recorders:
+        lsc.recorders = [Recorder("escape", event="escaping")]
     light = Node(
         name="light",
         light=Light(wavelength=ConstantWavelengthMask(555.0)),
@@ -69,27 +66,47 @@ def lsc_scene():
     return Scene(world)
 
 
-def test_pallas_step_matches_xla_core_exactly():
+def test_megakernel_fates_match_xla_exactly():
+    """Same (seed, pid)-pure streams => identical integer fate tallies,
+    including with lane regeneration (budget > wavefront)."""
     scene = lsc_scene()
-    kwargs = dict(seed=11, record_every=0, lanes=2048, dtype=np.float32)
-    r_xla = engine.simulate(scene, 8192, pallas=False, **kwargs)
-    r_pl = engine.simulate(scene, 8192, pallas=True, **kwargs)
-    assert r_pl.fate_counts() == r_xla.fate_counts()
-    a = r_xla.recorders["escape"]
-    b = r_pl.recorders["escape"]
-    assert a.rays == b.rays
-    assert a.crossings == b.crossings
-    _, ca = a.histogram()
-    _, cb = b.histogram()
-    assert (ca == cb).all()
-
-
-def test_pallas_falls_back_without_aligned_block():
-    # 9000 lanes has no block divisor >= 128 aligned with the TPU
-    # layout; the tracer silently uses the XLA fast body.
-    scene = lsc_scene()
-    result = engine.simulate(
-        scene, 9000, seed=3, record_every=0, lanes=None,
-        dtype=np.float32, pallas=True,
+    kwargs = dict(seed=11, record_every=0, lanes=1280, dtype=np.float32)
+    r_xla = engine.simulate(scene, 5120, pallas=False, **kwargs)
+    r_mega = engine.simulate(scene, 5120, pallas=True, **kwargs)
+    assert r_mega.fate_counts() == r_xla.fate_counts()
+    np.testing.assert_array_equal(
+        np.asarray(r_mega.data["fates"]), np.asarray(r_xla.data["fates"])
     )
-    assert sum(result.fate_counts().values()) == 9000
+
+
+def test_megakernel_budget_equals_wavefront():
+    """pallas=True with budget == lanes still routes through the
+    megakernel (refill never fires) and matches the XLA body."""
+    scene = lsc_scene()
+    kwargs = dict(seed=3, record_every=0, dtype=np.float32)
+    r_xla = engine.simulate(scene, 2048, pallas=False, lanes=None, **kwargs)
+    r_mega = engine.simulate(scene, 2048, pallas=True, lanes=None, **kwargs)
+    assert r_mega.fate_counts() == r_xla.fate_counts()
+
+
+def test_megakernel_deterministic_for_seed():
+    scene = lsc_scene()
+    kwargs = dict(seed=7, record_every=0, lanes=512, dtype=np.float32)
+    a = engine.simulate(scene, 2048, pallas=True, **kwargs)
+    b = engine.simulate(scene, 2048, pallas=True, **kwargs)
+    np.testing.assert_array_equal(
+        np.asarray(a.data["fates"]), np.asarray(b.data["fates"])
+    )
+
+
+def test_recorder_scenes_fall_back_to_xla():
+    """Recorders are not (yet) tallied inside the megakernel; pallas=True
+    must silently fall back to the XLA body with identical results."""
+    scene = lsc_scene(recorders=True)
+    kwargs = dict(seed=5, record_every=0, lanes=512, dtype=np.float32)
+    r_xla = engine.simulate(scene, 1024, pallas=False, **kwargs)
+    r_fb = engine.simulate(scene, 1024, pallas=True, **kwargs)
+    assert r_fb.fate_counts() == r_xla.fate_counts()
+    assert (
+        r_fb.recorders["escape"].rays == r_xla.recorders["escape"].rays
+    )
