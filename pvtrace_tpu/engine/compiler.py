@@ -366,7 +366,11 @@ class CompiledScene:
     # Monte-Carlo noise floor of any practical run and the error the
     # grid resampling itself introduces versus the raw spectra.
     CHEB_REL_TOL = 2e-4
-    CHEB_DEGREES = (8, 16, 32, 64, 96, 128, 192, 256)
+    # Global degrees are capped at 64: a degree-192/256 Clenshaw chain
+    # is a *serial* dependency of hundreds of FMAs per lane; beyond 64
+    # the adaptive piecewise fit below is both cheaper (independent
+    # short chains) and more accurate (kinks get their own segments).
+    CHEB_DEGREES = (8, 16, 32, 64)
     # Log-space fallback acceptance: max POINTWISE-relative error of the
     # reconstruction. Attenuation spectra (steep absorption cliff onto a
     # near-zero plateau, e.g. every real dye) defeat plain polynomial
@@ -379,15 +383,24 @@ class CompiledScene:
     # clipped-Gaussian dye spectra have a kink at the clip boundary
     # that floors polynomial fits around ~2e-3 regardless of degree.
     CHEB_LOG_REL_TOL = 2.5e-3
+    # Adaptive piecewise fallback: per-segment degree and the segment
+    # budget. Evaluation cost is ~PW_DEG FMAs per segment, but every
+    # segment's Clenshaw chain is independent (ILP-friendly VPU work),
+    # unlike one long serial chain of a high global degree.
+    PW_DEG = 8
+    PW_MAX_SEGMENTS = 48
 
     @staticmethod
     def _cheb_fit(values, rel_tol=None):
         """Fit `values` (sampled on a uniform grid) with the lowest-degree
-        Chebyshev series meeting the tolerance; None if none does.
+        Chebyshev series meeting the tolerance; falls back to an adaptive
+        piecewise fit; None if nothing meets tolerance.
 
         Returns a fit descriptor ``(kind, coef, offset)``:
           ("lin", coef, 0.0)  -> y ≈ clenshaw(t, coef)
           ("log", coef, off)  -> y ≈ exp(clenshaw(t, coef)) - off
+          ("pw", segs, off)   -> piecewise; segs = ((a, b, kind, coef), ...)
+                                 with per-segment affine map to [-1, 1]
         """
         from numpy.polynomial import chebyshev as _cheb
 
@@ -417,7 +430,89 @@ class CompiledScene:
                 rel = float(np.max(np.abs(rec - y) / floor))
                 if rel <= CompiledScene.CHEB_LOG_REL_TOL:
                     return ("log", coef, off)
-        return None
+        return CompiledScene._cheb_fit_piecewise(y)
+
+    @staticmethod
+    def _cheb_fit_piecewise(y):
+        """Adaptive piecewise-Chebyshev fit of a uniform-grid table.
+
+        Global polynomial fits fail on spectra with *kinks* (e.g. a
+        clipped-Gaussian dye absorption crossing zero): the error floors
+        near the kink no matter the degree. Splitting segments at the
+        worst-error point isolates each kink; a segment that shrinks to
+        a single grid cell reproduces the table's linear interpolation
+        EXACTLY (degree >= 1), so the recursion always converges. The
+        ground truth is the piecewise-linear interpolant the gather path
+        computes, checked on a 4x oversampled grid with the same
+        pointwise-relative criterion as the log-space fits.
+        """
+        from numpy.polynomial import chebyshev as _cheb
+
+        L = y.shape[0]
+        scale = float(np.max(np.abs(y)))
+        deg = CompiledScene.PW_DEG
+        rel_tol = CompiledScene.CHEB_LOG_REL_TOL
+        can_log = float(np.min(y)) >= 0.0
+        off = max(1e-3 * scale, 1e-30) if can_log else 0.0
+        # 8x oversampled truth (linear interpolation of the table)
+        td = np.linspace(-1.0, 1.0, 8 * (L - 1) + 1)
+        tgrid = np.linspace(-1.0, 1.0, L)
+        yd = np.interp(td, tgrid, y)
+        floor = np.maximum(np.abs(yd), max(1e-3 * scale, 1e-30))
+        cell = 2.0 / (L - 1)
+
+        def fit_segment(a, b):
+            m = (td >= a - 1e-12) & (td <= b + 1e-12)
+            ts = (td[m] - a) * (2.0 / (b - a)) - 1.0
+            ys = yd[m]
+            fl = floor[m]
+            # Keep the degree well below the sample count: a fit through
+            # ~d+1 points is an interpolant — zero residual AT the
+            # samples, unchecked oscillation between them (a cliff in
+            # one grid cell passes falsely). Degree <= samples/3 keeps
+            # the residual test meaningful; tight segments then keep
+            # splitting until the exact-linear cell fallback.
+            d = min(deg, max(1, (ts.shape[0] - 1) // 3))
+            coef = _cheb.chebfit(ts, ys, d)
+            rel = np.abs(_cheb.chebval(ts, coef) - ys) / fl
+            if float(np.max(rel)) <= rel_tol:
+                return ("lin", coef)
+            if can_log and float(np.min(ys)) >= 0.0:
+                lcoef = _cheb.chebfit(ts, np.log(ys + off), d)
+                lrel = np.abs(np.exp(_cheb.chebval(ts, lcoef)) - off - ys) / fl
+                if float(np.max(lrel)) <= rel_tol:
+                    return ("log", lcoef)
+            return None
+
+        segments = []
+        stack = [(-1.0, 1.0)]
+        while stack:
+            if len(segments) + len(stack) > CompiledScene.PW_MAX_SEGMENTS:
+                return None
+            a, b = stack.pop()
+            fit = fit_segment(a, b)
+            if fit is not None:
+                segments.append((a, b, fit[0], fit[1]))
+                continue
+            if b - a <= 1.25 * cell:
+                # Single grid cell but still failing (numerical corner);
+                # force the exact linear interpolant through the cell.
+                ia = int(round((a + 1.0) / cell))
+                ib = min(ia + 1, L - 1)
+                ya, yb = y[ia], y[ib]
+                coef = np.array([0.5 * (ya + yb), 0.5 * (yb - ya)])
+                segments.append((a, b, "lin", coef))
+                continue
+            # Bisect. (Splitting at the worst-error point can stall when
+            # the worst point hugs a segment edge; bisection terminates
+            # in <= log2(grid cells) depth per kink and measured FEWER
+            # segments on real dye spectra: the power-of-two edges box
+            # kinks in quickly.)
+            mid = 0.5 * (a + b)
+            stack.append((a, mid))
+            stack.append((mid, b))
+        segments.sort(key=lambda s: s[0])
+        return ("pw", tuple(segments), off)
 
     def _fit_chebyshev(self, node_meta):
         """Gather-free spectral surrogates (see compile-time note above).

@@ -129,9 +129,35 @@ def _eval_fit(t, fit):
     """Evaluate a compiler fit descriptor (kind, coef, offset) at t.
 
     "lin": plain Chebyshev series; "log": exp(series) - offset (the
-    log-space surrogate for cliff-and-plateau attenuation spectra,
-    see CompiledScene._cheb_fit)."""
+    log-space surrogate for cliff-and-plateau attenuation spectra);
+    "pw": adaptive piecewise fit — every segment's short Clenshaw chain
+    is independent (ILP across segments), masks select the lane's own
+    segment, and at most ONE exp is spent on all log segments combined.
+    See CompiledScene._cheb_fit."""
     kind, coef, off = fit
+    if kind == "pw":
+        segs = coef
+        vlin = jnp.zeros_like(t)
+        vlog = None
+        mlog = None
+        last = len(segs) - 1
+        for i, (a, b, k, c) in enumerate(segs):
+            ts = (t - a) * (2.0 / (b - a)) - 1.0
+            vs = _clenshaw(ts, c)
+            if i == 0:
+                m = t < b
+            elif i == last:
+                m = t >= a
+            else:
+                m = (t >= a) & (t < b)
+            if k == "log":
+                vlog = vs if vlog is None else jnp.where(m, vs, vlog)
+                mlog = m if mlog is None else (mlog | m)
+            else:
+                vlin = jnp.where(m, vs, vlin)
+        if vlog is None:
+            return vlin
+        return jnp.where(mlog, jnp.exp(vlog) - float(off), vlin)
     v = _clenshaw(t, coef)
     if kind == "log":
         v = jnp.exp(v) - float(off)
