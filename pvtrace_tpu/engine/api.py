@@ -30,12 +30,17 @@ def is_available() -> bool:
     return True
 
 
-class RecorderResult:
-    """Tallied statistics for one recorder.
+def _axis_edges(axis):
+    return np.linspace(axis.start, axis.stop, axis.bins + 1)
 
-    `rays` counts distinct rays (a trapped ray crossing several times
-    counts once); `crossings` counts every matching interaction.
-    Moments and histograms accumulate per distinct ray.
+
+class RecorderResult:
+    """One recorder's accumulated statistics.
+
+    Two counters: ``rays`` is distinct photons (first matching
+    interaction only — a trapped photon bouncing off the same face many
+    times is one ray) and ``crossings`` is every matching interaction.
+    The moment pairs and histogram bins accumulate per distinct ray.
     """
 
     def __init__(self, spec, rays, crossings, moments, bins):
@@ -45,20 +50,20 @@ class RecorderResult:
         self._moments = np.asarray(moments, dtype=float)  # (4, 2)
         self._bins = bins  # list of arrays matching spec.histograms
 
-    def mean(self, prop):
-        index = MOMENT_PROPERTIES.index(prop)
+    def _stats(self, prop):
+        """(mean, population variance) of a moment property, or NaNs."""
         if self.rays == 0:
-            return float("nan")
-        return self._moments[index, 0] / self.rays
+            return float("nan"), float("nan")
+        total, squares = self._moments[MOMENT_PROPERTIES.index(prop)]
+        mu = total / self.rays
+        return mu, max(squares / self.rays - mu * mu, 0.0)
+
+    def mean(self, prop):
+        return self._stats(prop)[0]
 
     def std(self, prop):
         """Population standard deviation of `prop` over recorded rays."""
-        index = MOMENT_PROPERTIES.index(prop)
-        if self.rays == 0:
-            return float("nan")
-        mean = self._moments[index, 0] / self.rays
-        variance = max(self._moments[index, 1] / self.rays - mean * mean, 0.0)
-        return float(np.sqrt(variance))
+        return float(np.sqrt(self._stats(prop)[1]))
 
     def error(self, prop):
         """Standard error of the mean of `prop`."""
@@ -69,13 +74,11 @@ class RecorderResult:
     def histogram(self, index=0):
         """(edges, counts) for 1D or (edges_a, edges_b, counts) for 2D."""
         spec = self.spec.histograms[index]
-        values = np.asarray(self._bins[index])
-        if isinstance(spec, Heatmap):
-            edges_a = np.linspace(spec.a.start, spec.a.stop, spec.a.bins + 1)
-            edges_b = np.linspace(spec.b.start, spec.b.stop, spec.b.bins + 1)
-            return edges_a, edges_b, values.reshape(spec.a.bins, spec.b.bins)
-        edges = np.linspace(spec.start, spec.stop, spec.bins + 1)
-        return edges, values
+        counts = np.asarray(self._bins[index])
+        if not isinstance(spec, Heatmap):
+            return _axis_edges(spec), counts
+        grid = counts.reshape(spec.a.bins, spec.b.bins)
+        return _axis_edges(spec.a), _axis_edges(spec.b), grid
 
     def __repr__(self):
         return (
@@ -115,25 +118,28 @@ class EngineResult:
 
     @property
     def recorders(self):
+        """Dict of recorder name -> RecorderResult, sliced out of the
+        engine's flat accumulator arrays."""
         compiled = self.compiled
-        results = {}
-        for r, spec in enumerate(compiled.recorder_specs):
-            bins = []
+        flat_bins = self.data["rec_bins"]
+
+        def slices(r, spec):
             start = compiled.rec_hist_start[r]
             for h in range(len(spec.histograms)):
                 row = compiled.hist_specs[start + h]
-                (_, _, _, na, nb, _, _, _, _, offset) = row
-                size = na * nb
-                bins.append(self.data["rec_bins"][offset:offset + size])
-            moments = self.data["rec_sums"][r].reshape(4, 2)
-            results[spec.name] = RecorderResult(
+                na, nb, offset = row[3], row[4], row[9]
+                yield flat_bins[offset:offset + na * nb]
+
+        return {
+            spec.name: RecorderResult(
                 spec,
                 self.data["rec_distinct"][r],
                 self.data["rec_crossings"][r],
-                moments,
-                bins,
+                self.data["rec_sums"][r].reshape(4, 2),
+                list(slices(r, spec)),
             )
-        return results
+            for r, spec in enumerate(compiled.recorder_specs)
+        }
 
     def fate_counts(self):
         """Counter of terminal fates over EVERY traced ray (lossless,
@@ -166,40 +172,45 @@ class EngineResult:
     def _component_name(self, index):
         return self.compiled.component_names[index] if index >= 0 else None
 
+    def _log_entry(self, j, k, launch_source):
+        """One (Ray, Event, metadata) tuple from event-log slot (j, k)."""
+        d = self.data
+        component_id = int(d["source"][j, k])
+        ray = Ray(
+            position=tuple(np.asarray(d["position"][j, k]).tolist()),
+            direction=tuple(np.asarray(d["direction"][j, k]).tolist()),
+            wavelength=float(d["wavelength"][j, k]),
+            travelled=float(d["travelled"][j, k]),
+            duration=float(d["duration"][j, k]),
+            source=(
+                launch_source if component_id < 0
+                else self._component_name(component_id)
+            ),
+        )
+        event = Event(int(d["kind"][j, k]))
+        metadata = {
+            key: lookup(int(d[key][j, k]))
+            for key, lookup in (
+                ("hit", self._node_name),
+                ("container", self._node_name),
+                ("adjacent", self._node_name),
+                ("component", self._component_name),
+            )
+        }
+        if event in (Event.REFLECT, Event.TRANSMIT):
+            metadata["normal"] = tuple(np.asarray(d["normal"][j, k]).tolist())
+        return ray, event, metadata
+
     def histories(self):
         """Yields one history per recorded ray: [(Ray, Event, metadata)]."""
-        d = self.data
+        counts = self.data["counts"]
         indices = self.recorded_indices
         for j in range(self.num_recorded):
-            history = []
-            for k in range(int(d["counts"][j])):
-                source_id = int(d["source"][j, k])
-                source = (
-                    self.sources[int(indices[j])]
-                    if source_id < 0
-                    else self._component_name(source_id)
-                )
-                ray = Ray(
-                    position=tuple(np.asarray(d["position"][j, k]).tolist()),
-                    direction=tuple(np.asarray(d["direction"][j, k]).tolist()),
-                    wavelength=float(d["wavelength"][j, k]),
-                    travelled=float(d["travelled"][j, k]),
-                    duration=float(d["duration"][j, k]),
-                    source=source,
-                )
-                event = Event(int(d["kind"][j, k]))
-                metadata = {
-                    "hit": self._node_name(int(d["hit"][j, k])),
-                    "container": self._node_name(int(d["container"][j, k])),
-                    "adjacent": self._node_name(int(d["adjacent"][j, k])),
-                    "component": self._component_name(int(d["component"][j, k])),
-                }
-                if event in (Event.REFLECT, Event.TRANSMIT):
-                    metadata["normal"] = tuple(
-                        np.asarray(d["normal"][j, k]).tolist()
-                    )
-                history.append((ray, event, metadata))
-            yield history
+            launch_source = self.sources[int(indices[j])]
+            yield [
+                self._log_entry(j, k, launch_source)
+                for k in range(int(counts[j]))
+            ]
 
 
 # Cache of jitted tracers keyed by (id(compiled), static config)
@@ -321,7 +332,6 @@ def simulate(
     compiled=None,
     lanes="auto",
     score=False,
-    pallas="auto",
     index_offset=0,
 ):
     """Trace `num_rays` through `scene` with the device engine.
@@ -373,7 +383,6 @@ def simulate(
         record_every=record_every,
         emit_method=emit_method,
         score=score,
-        use_pallas=pallas,
     )
     if lanes == "auto":
         # 2^19 lanes measured fastest on v5e across 4M-32M photon

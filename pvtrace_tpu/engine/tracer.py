@@ -209,13 +209,12 @@ class TraceConfig(NamedTuple):
     dtype: type
     score: bool = False
     n_comps: int = 0
-    pallas: bool = False
     maxpathlength: float = _INF
 
 
 def make_config(compiled, n_rays, dtype=np.float32, maxsteps=1000,
                 max_events=128, record_every=1, emit_method="kT",
-                score=False, use_pallas="auto", maxpathlength=None):
+                score=False, maxpathlength=None):
     if record_every > 0:
         n_slots = (n_rays + record_every - 1) // record_every
     else:
@@ -242,36 +241,10 @@ def make_config(compiled, n_rays, dtype=np.float32, maxsteps=1000,
         dtype=np.dtype(dtype).type,
         score=bool(score),
         n_comps=int(compiled.n_components),
-        pallas=_resolve_pallas(use_pallas, n_slots, score, dtype),
         maxpathlength=(
             _INF if maxpathlength is None else float(maxpathlength)
         ),
     )
-
-
-def _resolve_pallas(use_pallas, n_slots, score, dtype):
-    """Pallas here means the MEGAKERNEL: the whole regeneration trace
-    loop inside one pallas_call, photon state resident in VMEM from
-    emission to budget exhaustion, spectral surrogates baked in as FMA
-    constants (no tables, no gathers), per-block refill queues with
-    MXU triangular-matmul prefix sums.
-
-    Status: EXPERIMENTAL, opt-in (`pallas=True`). Correct — exact fate
-    agreement with the XLA body in interpret mode, statistical
-    agreement on TPU — but measured ~0.7x the XLA while-loop body on
-    v5e at every block size (1024..8192), which also demonstrates the
-    XLA body is compute-bound, not HBM-bound: removing every HBM
-    round-trip did not help, Mosaic simply emits this ~3k-op elementwise
-    body less efficiently than XLA's fusion pipeline. "auto" therefore
-    resolves to False everywhere. Event-log recording, score
-    accumulation, recorders and meshes always use the XLA body.
-    """
-    eligible = (
-        n_slots == 0 and not score and np.dtype(dtype) == np.float32
-    )
-    if use_pallas == "auto":
-        return False
-    return bool(use_pallas) and eligible
 
 
 # ----------------------------------------------------------------------
@@ -640,8 +613,8 @@ def _device_emit_flat(compiled, cfg, tables, keys, photon_ids):
     the host bundle emission (engine/emit.py) with zero host work.
 
     Shape-agnostic (B is the input's shape tuple) and returns unstacked
-    component triples so the Pallas megakernel can call it on tiled
-    state without relayouts. `tables` may be None when every light is
+    component triples so callers can consume tiled state without
+    relayouts. `tables` may be None when every light is
     constant-wavelength or has a Chebyshev-fitted spectrum."""
     f = cfg.dtype
     B = photon_ids.shape
@@ -790,18 +763,13 @@ def trace_bundle_device_emit(compiled, cfg: TraceConfig, tables, base_key,
     if lanes is None or (
         isinstance(n_rays, int) and lanes >= n_rays
     ):
-        if cfg.pallas and isinstance(n_rays, int):
-            # The megakernel always runs in regeneration mode; with
-            # budget == wavefront the refill logic simply never fires.
-            lanes = n_rays
-        else:
-            photon_ids, keys = _photon_keys(base_key, n_rays, index_offset)
-            pos3, dir3, wav = _device_emit(
-                compiled, cfg, tables, keys, photon_ids
-            )
-            return _run(
-                compiled, cfg, tables, photon_ids, keys, pos3, dir3, wav
-            )
+        photon_ids, keys = _photon_keys(base_key, n_rays, index_offset)
+        pos3, dir3, wav = _device_emit(
+            compiled, cfg, tables, keys, photon_ids
+        )
+        return _run(
+            compiled, cfg, tables, photon_ids, keys, pos3, dir3, wav
+        )
     # `n_rays` may be a traced scalar here: the budget only appears in
     # comparisons, so one compiled program serves any photon count.
     photon_ids, keys = _photon_keys(base_key, lanes, index_offset)
@@ -929,10 +897,8 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
     #
     # One step of every photon: draws -> next hit -> container -> EXIT /
     # absorb / re-emit / surface -> new state + per-lane event masks.
-    # Interpolation is injected (`spec_slots_fn`, `icdf_fn`) so the same
-    # code runs as plain XLA (table gathers) and inside the Pallas step
-    # kernel (one-hot MXU matmuls against VMEM-resident tables).
-    # Mirrors the full body below event-for-event; the body additionally
+    # Interpolation is injected (`spec_slots_fn`, `icdf_fn`) so gather
+    # tables and Chebyshev surrogates plug into the same body. Mirrors the full body below event-for-event; the body additionally
     # interleaves event-log records and score accumulation.
 
     maxK = max(ns[2] for ns in node_static) if has_spectra else 0
@@ -947,9 +913,8 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
     def physics_core(u, px, py, pz, dxv, dyv, dzv, wav, trav, dur,
                      source, alive, count, spec_slots_fn, icdf_fn,
                      want_extras=False):
-        # Shape tuple, not a width: the core is shape-agnostic so the
-        # same code runs on [B] wavefronts (XLA body) and on
-        # [blk/128, 128] tiles inside the Pallas megakernel.
+        # Shape tuple, not a width: the core is shape-agnostic and
+        # runs on [B] wavefronts of any rank.
         Bl = px.shape
         inf = jnp.full(Bl, _INF, f)
         t1 = inf
@@ -1371,8 +1336,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
     # (each slice of a T(8,128)-tiled result relayouts to T(1024)), but
     # every alternative measured WORSE: per-slot 1-D gathers 4x slower
     # (each pays its own latency-bound pass), transposed-table
-    # jnp.take(..., axis=1) ~12% slower (gather + transpose), one-hot
-    # MXU interpolation only viable inside the Pallas kernel.
+    # jnp.take(..., axis=1) ~12% slower (gather + transpose).
 
     def spec_slots_gather(container, i0, frac):
         row = jnp.clip(container, 0, N - 1) * L + i0
@@ -1446,207 +1410,6 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         icdf_cheb if (cheb_icdf is not None and cheb_icdf != [] and not no_cheb)
         else icdf_gather
     )
-
-    # -- Pallas megakernel -------------------------------------------------
-    #
-    # The XLA while-loop body measures ~11 ns/lane/step on v5e — an
-    # order of magnitude over its compute roofline (~1 ns), because
-    # every fusion boundary round-trips [B] intermediates through HBM.
-    # The megakernel runs the ENTIRE regeneration trace loop inside one
-    # pallas_call: the grid walks lane blocks; each block keeps its
-    # photon state resident in VMEM from first emission to budget
-    # exhaustion and writes back only its fate counters. The spectral
-    # path must be gather-free (Chebyshev surrogates baked in as FMA
-    # constants — Mosaic has no vectorized gather), which the compiler
-    # guarantees via `cheb_*`. State is [blk/128, 128]-shaped to match
-    # the f32 tile; `physics_core` is shape-agnostic.
-    #
-    # Photon->lane assignment: block b owns the contiguous pid range
-    # [offset + b*per, offset + (b+1)*per) (per = cdiv(budget, blocks));
-    # dead lanes refill from the block's own queue, with refill ranks
-    # from an in-block prefix sum done as two small triangular matmuls
-    # on the MXU (Mosaic has no vector cumsum). Every photon's stream
-    # is a pure function of (seed, pid) exactly as in the XLA body, so
-    # integer tallies are invariant to the assignment change.
-
-    def _mega_light_ok():
-        C = comp.CompiledScene
-        cheb_light = getattr(compiled, "cheb_light_icdf", None)
-        for (wspec, _p, _d, _m) in compiled.light_static:
-            if wspec[0] != C.WAV_CONST and (no_cheb or not cheb_light):
-                return False
-        return True
-
-    mega_ok = (
-        regen is not None
-        and cfg.n_slots == 0
-        and not cfg.score
-        and cfg.n_recorders == 0
-        and not _ABLATE
-        and not compiled.mesh_data
-        and np.dtype(f) == np.float32
-        and compiled.lights_supported
-        and (not has_spectra or (cheb_spec is not None and not no_cheb))
-        and (cfg.n_lum == 0 or (bool(cheb_icdf) and not no_cheb))
-        and _mega_light_ok()
-        and B % 128 == 0
-    )
-
-    def _mega_block():
-        preferred = int(os.environ.get("PVTRACE_TPU_MEGABLK", "8192"))
-        for blk in (preferred, 8192, 4096, 2048, 1024, 512, 256, 128):
-            if blk % 128 == 0 and B % blk == 0 and blk <= B:
-                return blk
-        return None
-
-    def _run_megakernel(blk):
-        import jax as _jax
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
-        n_blocks = B // blk
-        R = blk // 128
-        regen_base_key, regen_total = regen
-        s0, s1 = _key_words(regen_base_key)
-        offset0 = photon_ids[0]
-        # Triangular prefix-sum operands (exact in f32 for blk <= 2^24)
-        T128 = np.triu(np.ones((128, 128), np.float32))
-        TROW = np.tril(np.ones((R, R), np.float32), -1)
-
-        def kernel(scal_ref, t128_ref, trow_ref, out_ref):
-            b = pl.program_id(0).astype(jnp.uint32)
-            ks0 = scal_ref[0, 0]
-            ks1 = scal_ref[0, 1]
-            offset = scal_ref[0, 2]
-            total = scal_ref[0, 3]
-            budget = total - offset
-            per = (budget + jnp.uint32(n_blocks - 1)) // jnp.uint32(n_blocks)
-            start = offset + b * per
-            hi = jnp.minimum(start + per, total)
-
-            rows = jax.lax.broadcasted_iota(jnp.uint32, (R, 128), 0)
-            cols = jax.lax.broadcasted_iota(jnp.uint32, (R, 128), 1)
-            lane = rows * jnp.uint32(128) + cols
-
-            def emit(pid):
-                k0, k1 = _threefry2x32(ks0, ks1, pid, jnp.zeros_like(pid))
-                (epx, epy, epz), (edx, edy, edz), ewav = _device_emit_flat(
-                    compiled, cfg, None, (k0, k1), pid
-                )
-                return (k0, k1), (epx, epy, epz), (edx, edy, edz), ewav
-
-            pid0 = start + lane
-            (k0, k1), (px0, py0, pz0), (dx0, dy0, dz0), wav0 = emit(pid0)
-            zero = jnp.zeros((R, 128), f)
-            carry = (
-                px0, py0, pz0, dx0, dy0, dz0, wav0, zero, zero,
-                jnp.full((R, 128), -1, jnp.int32),          # source
-                pid0 < hi,                                   # alive
-                jnp.zeros((R, 128), jnp.int32),              # count
-                pid0,                                        # pid
-                start + jnp.uint32(blk),                     # next
-                jnp.zeros((), jnp.int32),                    # steps
-            ) + tuple(jnp.zeros((), jnp.int32) for _ in range(N_FATES))
-
-            def cond(carry):
-                alive = carry[10]
-                return jnp.sum(alive.astype(jnp.int32)) > 0
-
-            def step(carry):
-                (px, py, pz, dxv, dyv, dzv, wav, trav, dur, source,
-                 alive, count, pid, nxt, steps) = carry[:15]
-                fates = list(carry[15:])
-                count = count + alive.astype(jnp.int32)
-                pk0, pk1 = _threefry2x32(ks0, ks1, pid, jnp.zeros_like(pid))
-                u = _draw8(pk0, pk1, count.astype(jnp.uint32), f)
-                r = physics_core(
-                    u, px, py, pz, dxv, dyv, dzv, wav, trav, dur,
-                    source, alive, count, spec_slots_fn, icdf_fn,
-                )
-                for mask, fid in (
-                    (r["exit_mask"], EV_EXIT),
-                    (r["losing"], EV_NONRADIATIVE),
-                    (r["reacting"], EV_REACT),
-                    (r["kills"], EV_KILL),
-                    (r["no_hit_term"], FATE_NO_HIT),
-                ):
-                    fates[fid] = fates[fid] + jnp.sum(mask.astype(jnp.int32))
-
-                # Refill dead lanes from the block's pid queue
-                dead = ~r["alive"]
-                dm = dead.astype(jnp.float32)
-                within = jnp.dot(
-                    dm, t128_ref[:], preferred_element_type=jnp.float32
-                )
-                row_tot = within[:, 127:128]
-                row_off = jnp.dot(
-                    trow_ref[:], row_tot, preferred_element_type=jnp.float32
-                )
-                ranks = within - dm + row_off
-                cand = nxt + ranks.astype(jnp.uint32)
-                refill = dead & (cand < hi)
-                pid = jnp.where(refill, cand, pid)
-                nxt = nxt + jnp.sum(refill.astype(jnp.uint32))
-                (nk0, nk1), (epx, epy, epz), (edx, edy, edz), ewav = emit(pid)
-                px = jnp.where(refill, epx, r["px"])
-                py = jnp.where(refill, epy, r["py"])
-                pz = jnp.where(refill, epz, r["pz"])
-                dxv = jnp.where(refill, edx, r["dx"])
-                dyv = jnp.where(refill, edy, r["dy"])
-                dzv = jnp.where(refill, edz, r["dz"])
-                wav = jnp.where(refill, ewav, r["wav"])
-                trav = jnp.where(refill, 0.0, r["trav"])
-                dur = jnp.where(refill, 0.0, r["dur"])
-                source = jnp.where(refill, -1, r["source"])
-                count = jnp.where(refill, 0, count)
-                alive = r["alive"] | refill
-                return (
-                    px, py, pz, dxv, dyv, dzv, wav, trav, dur, source,
-                    alive, count, pid, nxt, steps + 1,
-                ) + tuple(fates)
-
-            final = jax.lax.while_loop(cond, step, carry)
-            for fid in range(N_FATES):
-                out_ref[0, fid] = final[15 + fid]
-            out_ref[0, N_FATES] = final[14]  # steps
-            for pad in range(N_FATES + 1, 16):
-                out_ref[0, pad] = jnp.zeros((), jnp.int32)
-
-        scal = jnp.stack(
-            [
-                s0.astype(jnp.uint32),
-                s1.astype(jnp.uint32),
-                jnp.asarray(offset0, jnp.uint32),
-                jnp.asarray(regen_total, jnp.uint32),
-            ]
-        )[None, :]
-        interpret = _jax.default_backend() != "tpu"
-        rows = pl.pallas_call(
-            kernel,
-            grid=(n_blocks,),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 4), lambda b: (0, 0), memory_space=pltpu.SMEM
-                ),
-                pl.BlockSpec(
-                    (128, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (R, R), lambda b: (0, 0), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 16), lambda b: (b, 0), memory_space=pltpu.SMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((n_blocks, 16), jnp.int32),
-            interpret=interpret,
-        )(scal, jnp.asarray(T128), jnp.asarray(TROW))
-
-        tallies = _empty_tallies(cfg, B)
-        tallies["fates"] = jnp.sum(rows[:, :N_FATES], axis=0)
-        steps = jnp.max(rows[:, N_FATES])
-        counts = jnp.zeros(1, jnp.int32)
-        return tallies, _empty_log(cfg), counts, steps
 
     def body_fast(state, step_fn):
         """Fast-path body: physics via `step_fn`, then shared tallies +
@@ -2070,10 +1833,6 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         return out
 
     fast_ok = cfg.n_slots == 0 and not cfg.score and not _ABLATE
-    if fast_ok and cfg.pallas and mega_ok:
-        blk = _mega_block()
-        if blk is not None:
-            return _run_megakernel(blk)
     if fast_ok:
 
         def step_fn(state):
