@@ -1,10 +1,16 @@
-"""Vectorised ray-bundle emission.
+"""Bundle emission: whole-array sampling of the scene's light sources.
 
-Parity: reference ``pvtrace/engine/emit.py`` — per-ray Python delegate
-calls dominate once tracing is fast, so all built-in delegate types are
-sampled as whole numpy bundles; unrecognised delegates fall back to the
-per-ray path so custom light sources keep working. Rays cycle between
-lights exactly like ``Scene.emit``.
+Role parity with the reference's ``pvtrace/engine/emit.py`` (host-side
+vectorised emission), organised as a dispatch table instead of
+isinstance chains: each built-in delegate type registers a *sampler
+factory* which, given the delegate, returns a closure drawing ``n``
+samples at once with numpy. Delegates with no registered factory make
+the light fall back to the per-ray generator path, so custom Python
+light sources keep working unchanged.
+
+The sampled distributions are identical to the per-ray delegates
+(uniform masks, sqrt-uniform disc/cone, cosine-weighted Lambertian,
+Henyey-Greenstein); only the draw granularity differs.
 """
 import functools
 
@@ -19,130 +25,190 @@ from pvtrace_tpu.material.utils import (
     lambertian,
 )
 
-
-def _sphere_directions(theta, phi):
-    st = np.sin(theta)
-    return np.column_stack((st * np.cos(phi), st * np.sin(phi), np.cos(theta)))
+_TAU = 2.0 * np.pi
 
 
-def _sample_wavelengths(delegate, n):
-    if delegate is light_module.default_wavelength or isinstance(
-        delegate, light_module.DefaultWavelength
-    ):
-        return np.full(n, 555.0)
-    if isinstance(delegate, light_module.ConstantWavelengthMask):
-        return np.full(n, delegate.nanometers)
-    if isinstance(delegate, light_module.SpectrumWavelengthMask):
-        return np.asarray(
-            delegate.distribution.sample(np.random.uniform(0, 1, n)), dtype=float
+def _unit_from_angles(theta, phi):
+    """Stack spherical angles into unit direction rows."""
+    return np.column_stack(
+        (
+            np.sin(theta) * np.cos(phi),
+            np.sin(theta) * np.sin(phi),
+            np.cos(theta),
         )
-    return None
+    )
 
 
-def _sample_positions(delegate, n):
-    if delegate is light_module.default_position or isinstance(
-        delegate, light_module.DefaultPosition
-    ):
-        return np.zeros((n, 3))
-    if isinstance(delegate, light_module.RectangularMask):
+def _uniform_box(half_extents):
+    """Uniform sampler over a centred axis-aligned box (0-extent axes
+    collapse to the plane/line/point)."""
+    hx, hy, hz = half_extents
+
+    def draw(n):
         return np.column_stack(
             (
-                np.random.uniform(-delegate.x, delegate.x, n),
-                np.random.uniform(-delegate.y, delegate.y, n),
-                np.zeros(n),
+                np.random.uniform(-hx, hx, n) if hx else np.zeros(n),
+                np.random.uniform(-hy, hy, n) if hy else np.zeros(n),
+                np.random.uniform(-hz, hz, n) if hz else np.zeros(n),
             )
         )
-    if isinstance(delegate, light_module.CircularMask):
-        angle = np.random.uniform(0, 2 * np.pi, n)
-        radius = np.sqrt(np.random.uniform(0, 1, n)) * delegate.radius
-        return np.column_stack(
-            (radius * np.cos(angle), radius * np.sin(angle), np.zeros(n))
-        )
-    if isinstance(delegate, light_module.CubeMask):
-        return np.column_stack(
-            (
-                np.random.uniform(-delegate.x, delegate.x, n),
-                np.random.uniform(-delegate.y, delegate.y, n),
-                np.random.uniform(-delegate.z, delegate.z, n),
-            )
-        )
-    return None
+
+    return draw
 
 
-def _sample_directions(delegate, n):
-    if delegate is light_module.default_direction or isinstance(
-        delegate, light_module.DefaultDirection
-    ):
-        return np.tile((0.0, 0.0, 1.0), (n, 1))
-    theta_max = None
-    if isinstance(delegate, Cone):
-        theta_max = delegate.theta_max
-    elif isinstance(delegate, functools.partial) and delegate.func is cone:
-        # functools.partial(cone, theta) — common in examples
-        if delegate.args:
-            theta_max = float(delegate.args[0])
-        elif "theta_max" in delegate.keywords:
-            theta_max = float(delegate.keywords["theta_max"])
-    if theta_max is not None:
-        theta = np.arcsin(np.sqrt(np.random.uniform(0, 1, n)) * np.sin(theta_max))
-        phi = 2 * np.pi * np.random.uniform(0, 1, n)
-        return _sphere_directions(theta, phi)
-    if delegate is isotropic:
-        phi = 2 * np.pi * np.random.uniform(0, 1, n)
-        theta = np.arccos(2 * np.random.uniform(0, 1, n) - 1)
-        return _sphere_directions(theta, phi)
-    if delegate is lambertian:
-        theta = np.arcsin(np.sqrt(np.random.uniform(0, 1, n)))
-        phi = 2 * np.pi * np.random.uniform(0, 1, n)
-        return _sphere_directions(theta, phi)
-    if isinstance(delegate, HenyeyGreenstein):
-        g = delegate.g
-        if abs(g) < 1e-12:
-            return _sample_directions(isotropic, n)
-        s = 2 * np.random.uniform(0, 1, n) - 1
+def _disc(radius):
+    def draw(n):
+        rho = radius * np.sqrt(np.random.uniform(0, 1, n))
+        phi = np.random.uniform(0, _TAU, n)
+        return np.column_stack(
+            (rho * np.cos(phi), rho * np.sin(phi), np.zeros(n))
+        )
+
+    return draw
+
+
+def _cone_directions(theta_max):
+    sin_max = np.sin(theta_max)
+
+    def draw(n):
+        theta = np.arcsin(sin_max * np.sqrt(np.random.uniform(0, 1, n)))
+        return _unit_from_angles(theta, np.random.uniform(0, _TAU, n))
+
+    return draw
+
+
+def _isotropic_directions(n):
+    theta = np.arccos(1.0 - 2.0 * np.random.uniform(0, 1, n))
+    return _unit_from_angles(theta, np.random.uniform(0, _TAU, n))
+
+
+def _lambertian_directions(n):
+    theta = np.arcsin(np.sqrt(np.random.uniform(0, 1, n)))
+    return _unit_from_angles(theta, np.random.uniform(0, _TAU, n))
+
+
+def _hg_directions(g):
+    if abs(g) < 1e-12:
+        return _isotropic_directions
+
+    def draw(n):
+        s = np.random.uniform(-1, 1, n)
         mu = (1 + g * g - ((1 - g * g) / (1 + g * s)) ** 2) / (2 * g)
-        phi = 2 * np.pi * np.random.uniform(0, 1, n)
-        return _sphere_directions(np.arccos(mu), phi)
+        return _unit_from_angles(np.arccos(mu), np.random.uniform(0, _TAU, n))
+
+    return draw
+
+
+def _cone_half_angle(delegate):
+    """Half-angle of a cone delegate, also accepting partial(cone, θ)."""
+    if isinstance(delegate, Cone):
+        return delegate.theta_max
+    if isinstance(delegate, functools.partial) and delegate.func is cone:
+        if delegate.args:
+            return float(delegate.args[0])
+        if "theta_max" in delegate.keywords:
+            return float(delegate.keywords["theta_max"])
     return None
+
+
+# Factories keyed by delegate class. Each maps delegate -> draw(n).
+_BY_CLASS = {
+    light_module.DefaultWavelength: lambda d: (
+        lambda n: np.full(n, 555.0)
+    ),
+    light_module.ConstantWavelengthMask: lambda d: (
+        lambda n: np.full(n, d.nanometers)
+    ),
+    light_module.SpectrumWavelengthMask: lambda d: (
+        lambda n: np.asarray(
+            d.distribution.sample(np.random.uniform(0, 1, n)), dtype=float
+        )
+    ),
+    light_module.DefaultPosition: lambda d: (
+        lambda n: np.zeros((n, 3))
+    ),
+    light_module.RectangularMask: lambda d: _uniform_box((d.x, d.y, 0.0)),
+    light_module.CircularMask: lambda d: _disc(d.radius),
+    light_module.CubeMask: lambda d: _uniform_box((d.x, d.y, d.z)),
+    light_module.DefaultDirection: lambda d: (
+        lambda n: np.tile((0.0, 0.0, 1.0), (n, 1))
+    ),
+    Cone: lambda d: _cone_directions(d.theta_max),
+    HenyeyGreenstein: lambda d: _hg_directions(d.g),
+}
+
+# Factories keyed by function identity (module-level delegate callables).
+_BY_IDENTITY = {
+    light_module.default_wavelength: lambda d: (lambda n: np.full(n, 555.0)),
+    light_module.default_position: lambda d: (lambda n: np.zeros((n, 3))),
+    light_module.default_direction: lambda d: (
+        lambda n: np.tile((0.0, 0.0, 1.0), (n, 1))
+    ),
+    isotropic: lambda d: _isotropic_directions,
+    lambertian: lambda d: _lambertian_directions,
+}
+
+
+def _resolve(delegate):
+    """Bulk sampler for a delegate, or None if only per-ray works."""
+    try:
+        factory = _BY_IDENTITY.get(delegate)
+    except TypeError:  # unhashable delegate
+        factory = None
+    if factory is None:
+        factory = _BY_CLASS.get(type(delegate))
+    if factory is None:
+        theta_max = _cone_half_angle(delegate)
+        if theta_max is not None:
+            return _cone_directions(theta_max)
+        return None
+    return factory(delegate)
 
 
 def emit_bundle(scene, num_rays):
-    """Emit `num_rays` from the scene's lights as world-frame arrays.
+    """Emit ``num_rays`` from the scene's lights as world-frame arrays.
 
-    Returns (positions, directions, wavelengths, sources).
+    Returns ``(positions, directions, wavelengths, sources)``. Rays are
+    dealt round-robin across the scene's lights, matching
+    ``Scene.emit``'s ordering, and transformed from each light's frame
+    to the root frame with that node's rigid pose.
     """
     lights = scene.light_nodes
-    positions = np.zeros((num_rays, 3))
-    directions = np.zeros((num_rays, 3))
-    wavelengths = np.zeros(num_rays)
-    sources = np.empty(num_rays, dtype=object)
+    out_pos = np.zeros((num_rays, 3))
+    out_dir = np.zeros((num_rays, 3))
+    out_wav = np.zeros(num_rays)
+    out_src = [None] * num_rays
 
-    for index, node in enumerate(lights):
-        rows = np.arange(index, num_rays, len(lights))
+    for offset, node in enumerate(lights):
+        rows = np.arange(offset, num_rays, len(lights))
+        if rows.size == 0:
+            continue
+        samplers = [
+            _resolve(node.light.wavelength),
+            _resolve(node.light.position),
+            _resolve(node.light.direction),
+        ]
+        if any(s is None for s in samplers):
+            _emit_per_ray(scene, node, rows, out_pos, out_dir, out_wav,
+                          out_src)
+            continue
+        draw_wav, draw_pos, draw_dir = samplers
         n = rows.size
-        if n == 0:
-            continue
-        light = node.light
-        wav = _sample_wavelengths(light.wavelength, n)
-        pos = _sample_positions(light.position, n)
-        direction = _sample_directions(light.direction, n)
+        pose = np.asarray(node.transformation_to(scene.root))
+        out_wav[rows] = draw_wav(n)
+        out_pos[rows] = draw_pos(n) @ pose[:3, :3].T + pose[:3, 3]
+        out_dir[rows] = draw_dir(n) @ pose[:3, :3].T
+        for row in rows:
+            out_src[row] = node.light.name
 
-        if wav is None or pos is None or direction is None:
-            # Unknown delegate: per-ray Python fallback for this light
-            for row, ray in zip(rows, node.emit(n)):
-                world = ray.representation(node, scene.root)
-                positions[row] = world.position
-                directions[row] = world.direction
-                wavelengths[row] = world.wavelength
-                sources[row] = world.source
-            continue
+    return out_pos, out_dir, out_wav, out_src
 
-        matrix = np.asarray(node.transformation_to(scene.root))
-        rotation = matrix[:3, :3]
-        translation = matrix[:3, 3]
-        positions[rows] = pos @ rotation.T + translation
-        directions[rows] = direction @ rotation.T
-        wavelengths[rows] = wav
-        sources[rows] = light.name
 
-    return positions, directions, wavelengths, sources.tolist()
+def _emit_per_ray(scene, node, rows, out_pos, out_dir, out_wav, out_src):
+    """Per-ray generator fallback for lights with custom delegates."""
+    for row, ray in zip(rows, node.emit(rows.size)):
+        world = ray.representation(node, scene.root)
+        out_pos[row] = world.position
+        out_dir[row] = world.direction
+        out_wav[row] = world.wavelength
+        out_src[row] = world.source

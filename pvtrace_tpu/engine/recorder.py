@@ -1,63 +1,78 @@
-"""Declarative tally specifications attached to scene nodes.
+"""Tally specifications: what to count, where, and how to bin it.
 
-Parity: reference ``pvtrace/engine/recorder.py`` — recorders accumulate
-ray statistics with memory proportional to histogram bins, not rays
-(the tallies/scorers idea from MC transport codes). Counting is per
-distinct ray by default, matching the ``DISTINCT throw_id`` semantics of
-the CLI count queries; raw crossings are tallied separately.
+Role parity with the reference's ``pvtrace/engine/recorder.py``. A
+recorder declares a stream of photon-surface or photon-volume
+interactions on one scene node and the statistics to keep about them.
+Storage is O(bins): the device engine lowers each recorder to flat
+accumulator arrays (distinct-ray count, raw crossing count, four moment
+pairs, histogram bins) updated with masked scatter-adds each wavefront
+step and ``psum``-reduced across chips.
 
-On device these lower to flat bin arrays updated with masked
-scatter-adds and reduced across chips with ``psum``.
+Distinct-ray counting mirrors the ``DISTINCT throw_id`` CLI queries: a
+trapped photon crossing the same face repeatedly is one ray (its first
+interaction supplies the histogrammed values) but every crossing still
+increments the crossings counter.
 """
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
 
-# Ray properties that can be histogrammed. Positions (x, y, z) are in
-# the local frame of the node owning the recorder.
+#: Histogrammable photon properties -> device column index. x/y/z are
+#: positions in the local frame of the node owning the recorder;
+#: wavelength is nm, angle the radians between the incident direction
+#: and the surface normal, duration seconds, pathlength centimetres.
 PROPERTIES = {
-    "wavelength": 0,  # nanometers
-    "angle": 1,       # radians between incident ray and surface normal
-    "duration": 2,    # seconds since the ray was generated
-    "pathlength": 3,  # centimetres travelled since the ray was generated
-    "x": 4,
-    "y": 5,
-    "z": 6,
+    name: column
+    for column, name in enumerate(
+        ("wavelength", "angle", "duration", "pathlength", "x", "y", "z")
+    )
 }
 
-# Interaction selectors. Surface selectors follow the CLI count
-# semantics; volume selectors fire on terminal events inside the node.
+#: Selector name -> device tag. The first three are surface selectors
+#: (transmitted in, transmitted out, bounced off) matching the CLI
+#: count semantics; lost/reacted/killed fire on terminal events inside
+#: the node volume; exit fires when a photon leaves through the root.
 EVENTS = {
-    "entering": 0,   # transmitted through the node surface from outside
-    "escaping": 1,   # transmitted through the node surface from inside
-    "reflected": 2,  # reflected off the node surface from outside
-    "lost": 3,       # non-radiatively absorbed inside the node
-    "reacted": 4,    # absorbed by a Reactor component inside the node
-    "killed": 5,     # killed by the tracer inside the node
-    "exit": 6,       # left the scene through this (root) node's surface
+    name: tag
+    for tag, name in enumerate(
+        (
+            "entering",
+            "escaping",
+            "reflected",
+            "lost",
+            "reacted",
+            "killed",
+            "exit",
+        )
+    )
 }
 
 
+@dataclass(frozen=True)
 class Histogram:
-    """1D histogram specification for a ray property."""
+    """Uniform 1D binning of one photon property over [start, stop)."""
 
-    def __init__(self, prop, start, stop, bins):
-        if prop not in PROPERTIES:
+    prop: str
+    start: float
+    stop: float
+    bins: int
+
+    def __post_init__(self):
+        if self.prop not in PROPERTIES:
             raise ValueError(
-                f"Unknown property {prop!r}; use one of {sorted(PROPERTIES)}"
+                f"Unknown property {self.prop!r}; use one of "
+                f"{sorted(PROPERTIES)}"
             )
-        if not stop > start:
+        object.__setattr__(self, "start", float(self.start))
+        object.__setattr__(self, "stop", float(self.stop))
+        object.__setattr__(self, "bins", int(self.bins))
+        if not self.stop > self.start:
             raise ValueError("Histogram range requires stop > start.")
-        if bins < 1:
+        if self.bins < 1:
             raise ValueError("Histogram requires at least one bin.")
-        self.prop = prop
-        self.start = float(start)
-        self.stop = float(stop)
-        self.bins = int(bins)
-
-    def __repr__(self):
-        return f"Histogram({self.prop!r}, {self.start}, {self.stop}, {self.bins})"
 
 
 class Heatmap:
-    """2D histogram over a pair of ray properties."""
+    """Joint 2D binning of two photon properties (axes ``a`` and ``b``)."""
 
     def __init__(self, prop_a, prop_b, range_a, range_b):
         self.a = Histogram(prop_a, *range_a)
@@ -67,37 +82,40 @@ class Heatmap:
         return f"Heatmap({self.a!r}, {self.b!r})"
 
 
+@dataclass
 class Recorder:
-    """Tallies rays interacting with a node. See module docstring."""
+    """One named tally stream attached to a scene node.
 
-    def __init__(self, name, event="entering", facet=None, atol=1e-6, histograms=None):
-        """Parameters
-        ----------
-        name: str
-            Identifier used to retrieve results.
-        event: str
-            One of "entering", "escaping", "reflected" (surface),
-            "lost", "reacted", "killed" (volume) or "exit" (root node).
-        facet: tuple of float (optional)
-            Restrict a surface recorder to interactions whose outward
-            surface normal matches this vector within `atol` per
-            component (like the CLI --nx/--ny/--nz options).
-        atol: float
-            Tolerance for the facet normal comparison.
-        histograms: list of Histogram or Heatmap (optional)
-        """
-        if event not in EVENTS:
-            raise ValueError(f"Unknown event {event!r}; use one of {sorted(EVENTS)}")
-        self.name = name
-        self.event = event
-        self.facet = None if facet is None else tuple(float(v) for v in facet)
-        self.atol = float(atol)
-        self.histograms = [] if histograms is None else list(histograms)
-        for hist in self.histograms:
-            if not isinstance(hist, (Histogram, Heatmap)):
-                raise ValueError(
-                    "histograms must contain Histogram or Heatmap objects."
-                )
+    ``event`` picks the selector (see :data:`EVENTS`). A surface
+    recorder may be restricted to a single facet by giving the outward
+    normal it must match within ``atol`` per component (the CLI's
+    --nx/--ny/--nz filters). ``histograms`` lists Histogram/Heatmap
+    specs binned from each distinct ray's first matching interaction.
+    """
+
+    name: str
+    event: str = "entering"
+    facet: Optional[Tuple[float, ...]] = None
+    atol: float = 1e-6
+    histograms: Sequence = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.event not in EVENTS:
+            raise ValueError(
+                f"Unknown event {self.event!r}; use one of {sorted(EVENTS)}"
+            )
+        if self.facet is not None:
+            self.facet = tuple(float(c) for c in self.facet)
+        self.atol = float(self.atol)
+        self.histograms = list(self.histograms)
+        bad = [
+            h for h in self.histograms
+            if not isinstance(h, (Histogram, Heatmap))
+        ]
+        if bad:
+            raise ValueError(
+                "histograms must contain Histogram or Heatmap objects."
+            )
 
     def __repr__(self):
         return f"Recorder({self.name!r}, event={self.event!r})"
