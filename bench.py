@@ -13,7 +13,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import functools
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -93,17 +92,16 @@ def main():
     engine.simulate(scene, 2_000_000, seed=1, record_every=0, dtype=np.float32)
 
     # Timed runs (wall clock including host-side result handling)
-    total_rays = 0
-    total_time = 0.0
-    for i in range(3):
-        tic = time.perf_counter()
-        engine.simulate(
-            scene, bundle, seed=2 + i, record_every=0, dtype=np.float32
-        )
-        total_rays += bundle
-        total_time += time.perf_counter() - tic
+    from pvtrace_tpu.utils.profiling import ThroughputMeter
 
-    value = total_rays / total_time
+    meter = ThroughputMeter()
+    for i in range(3):
+        with meter.measure(bundle):
+            engine.simulate(
+                scene, bundle, seed=2 + i, record_every=0, dtype=np.float32
+            )
+
+    value = meter.rate
     print(
         json.dumps(
             {

@@ -23,13 +23,15 @@ from pvtrace_tpu.engine import tracer as tr  # noqa: E402
 
 
 def timeit(fn, *args, reps=20):
+    from pvtrace_tpu.utils.profiling import Timer
+
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    with Timer() as t:
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+    return t.elapsed / reps
 
 
 def main():
@@ -98,7 +100,9 @@ def capture_trace(outdir="/tmp/pvtrace_profile"):
     )
     out = run(keys[0], keys[1], pid, pos3, dir3, wav)
     jax.block_until_ready(out)
-    with jax.profiler.trace(outdir):
+    from pvtrace_tpu.utils.profiling import trace_profile
+
+    with trace_profile(outdir):
         out = run(keys[0], keys[1], pid, pos3, dir3, wav)
         jax.block_until_ready(out)
     print("trace written to", outdir)

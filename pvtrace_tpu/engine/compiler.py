@@ -404,6 +404,7 @@ class CompiledScene:
         """
         from numpy.polynomial import chebyshev as _cheb
 
+        explicit_tol = rel_tol is not None
         rel_tol = rel_tol or CompiledScene.CHEB_REL_TOL
         y = np.asarray(values, dtype=np.float64)
         t = np.linspace(-1.0, 1.0, y.shape[0])
@@ -430,28 +431,34 @@ class CompiledScene:
                 rel = float(np.max(np.abs(rec - y) / floor))
                 if rel <= CompiledScene.CHEB_LOG_REL_TOL:
                     return ("log", coef, off)
-        return CompiledScene._cheb_fit_piecewise(y)
+        return CompiledScene._cheb_fit_piecewise(
+            y, rel_tol if explicit_tol else None
+        )
 
     @staticmethod
-    def _cheb_fit_piecewise(y):
+    def _cheb_fit_piecewise(y, rel_tol=None):
         """Adaptive piecewise-Chebyshev fit of a uniform-grid table.
 
         Global polynomial fits fail on spectra with *kinks* (e.g. a
         clipped-Gaussian dye absorption crossing zero): the error floors
-        near the kink no matter the degree. Splitting segments at the
-        worst-error point isolates each kink; a segment that shrinks to
-        a single grid cell reproduces the table's linear interpolation
-        EXACTLY (degree >= 1), so the recursion always converges. The
-        ground truth is the piecewise-linear interpolant the gather path
-        computes, checked on a 4x oversampled grid with the same
-        pointwise-relative criterion as the log-space fits.
+        near the kink no matter the degree. Bisecting failing segments
+        at the midpoint isolates each kink; a segment that shrinks
+        inside a single grid cell reproduces the table's linear
+        interpolation EXACTLY (degree >= 1), so the recursion always
+        converges. The ground truth is the piecewise-linear interpolant
+        the gather path computes, checked on an 8x oversampled grid
+        with the same pointwise-relative criterion as the log-space
+        fits (or the caller's tighter tolerance when one was given).
         """
         from numpy.polynomial import chebyshev as _cheb
 
         L = y.shape[0]
         scale = float(np.max(np.abs(y)))
         deg = CompiledScene.PW_DEG
-        rel_tol = CompiledScene.CHEB_LOG_REL_TOL
+        if rel_tol is None:
+            rel_tol = CompiledScene.CHEB_LOG_REL_TOL
+        else:
+            rel_tol = min(rel_tol, CompiledScene.CHEB_LOG_REL_TOL)
         can_log = float(np.min(y)) >= 0.0
         off = max(1e-3 * scale, 1e-30) if can_log else 0.0
         # 8x oversampled truth (linear interpolation of the table)
@@ -463,6 +470,10 @@ class CompiledScene:
 
         def fit_segment(a, b):
             m = (td >= a - 1e-12) & (td <= b + 1e-12)
+            if int(m.sum()) < 4:
+                # Too few truth samples to check a fit honestly; let the
+                # cell-scale path below handle it exactly.
+                return None
             ts = (td[m] - a) * (2.0 / (b - a)) - 1.0
             ys = yd[m]
             fl = floor[m]
@@ -495,11 +506,22 @@ class CompiledScene:
                 segments.append((a, b, fit[0], fit[1]))
                 continue
             if b - a <= 1.25 * cell:
-                # Single grid cell but still failing (numerical corner);
-                # force the exact linear interpolant through the cell.
-                ia = int(round((a + 1.0) / cell))
-                ib = min(ia + 1, L - 1)
-                ya, yb = y[ia], y[ib]
+                # Cell-scale segment still failing (a kink inside it).
+                # Dyadic endpoints generally do NOT line up with the
+                # grid's cells (width 2/(L-1)), so snapping to a cell
+                # index would stretch the wrong endpoints onto the
+                # segment. Instead split at any grid knot strictly
+                # inside; a knot-free segment lies within one cell,
+                # where the truth is exactly linear in t.
+                knots = tgrid[(tgrid > a + 1e-9 * cell)
+                              & (tgrid < b - 1e-9 * cell)]
+                if knots.size:
+                    k = float(knots[knots.size // 2])
+                    stack.append((a, k))
+                    stack.append((k, b))
+                    continue
+                ya = float(np.interp(a, tgrid, y))
+                yb = float(np.interp(b, tgrid, y))
                 coef = np.array([0.5 * (ya + yb), 0.5 * (yb - ya)])
                 segments.append((a, b, "lin", coef))
                 continue

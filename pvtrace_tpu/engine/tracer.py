@@ -142,9 +142,14 @@ def _eval_fit(t, fit):
         mlog = None
         last = len(segs) - 1
         for i, (a, b, k, c) in enumerate(segs):
-            ts = (t - a) * (2.0 / (b - a)) - 1.0
+            # Clamp: lanes outside the segment would otherwise evaluate
+            # Clenshaw at |ts| up to ~2/(b-a), which can overflow f32
+            # and poison reverse-mode gradients through the jnp.where.
+            ts = jnp.clip((t - a) * (2.0 / (b - a)) - 1.0, -1.0, 1.0)
             vs = _clenshaw(ts, c)
-            if i == 0:
+            if last == 0:
+                m = jnp.ones(t.shape, bool)
+            elif i == 0:
                 m = t < b
             elif i == last:
                 m = t >= a

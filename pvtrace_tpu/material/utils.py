@@ -2,7 +2,7 @@
 
 Parity: reference ``pvtrace/material/utils.py``. These numpy versions
 serve the Python oracle tracer and scene construction; the device tracer
-uses the vectorised jnp equivalents in ``pvtrace_tpu.ops.optics`` which
+uses the vectorised jnp equivalents inlined in the device tracer which
 implement the same distributions.
 """
 import numpy as np
