@@ -13,8 +13,12 @@ shards the *photon axis* over every chip of a mesh with ``shard_map``:
   results are bitwise independent of the sharding layout — the same
   guarantee as the reference's seed-per-ray streams.
 
-Multi-host: initialise ``jax.distributed`` and build the mesh over all
-processes; `shard_trace` only uses collectives so it runs unchanged.
+Multi-host: call ``parallel.init_distributed()`` on every host, build
+the mesh with ``parallel.global_photon_mesh()`` and use these same
+entry points — the compiled program is identical (collectives only);
+the wrappers lift each process's host-local inputs to global arrays
+and localise the replicated outputs. ``tests/test_multihost.py``
+asserts 2-process tallies are bitwise equal to the single-process run.
 """
 from functools import partial
 
@@ -24,6 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pvtrace_tpu.engine import tracer as tracer_module
+from pvtrace_tpu.parallel import distributed
 
 
 def make_photon_mesh(devices=None, axis_name="photons"):
@@ -80,12 +85,20 @@ def shard_trace(compiled, cfg, mesh, axis_name="photons"):
     )
 
     def traced(tables, positions, directions, wavelengths, base_key):
-        B = positions.shape[0]
+        # Multi-process: each process passes ITS slice of the photon
+        # batch; the global batch is the concatenation over processes.
+        B = positions.shape[0] * jax.process_count()
         if B % n_dev != 0:
             raise ValueError(
                 f"Photon batch ({B}) must divide the mesh size ({n_dev})."
             )
-        return fn(tables, positions, directions, wavelengths, base_key)
+        args = distributed.globalize(
+            mesh,
+            (tables, positions, directions, wavelengths, base_key),
+            (P(), P(axis_name), P(axis_name), P(axis_name), P()),
+        )
+        out = fn(*args)
+        return distributed.localize(mesh, out, (P(), P()))
 
     return traced
 
@@ -144,11 +157,16 @@ def shard_trace_device_emit(compiled, cfg, mesh, lanes=None,
     )
 
     def traced(tables, n_rays, base_key):
+        # `n_rays` is the GLOBAL photon budget on every process.
         if int(n_rays) % n_dev != 0:
             raise ValueError(
                 f"n_rays ({n_rays}) must divide the mesh size ({n_dev})."
             )
-        n_per = jnp.full((1,), int(n_rays) // n_dev, jnp.uint32)
-        return fn(tables, n_per, base_key)
+        n_per = np.full((1,), int(n_rays) // n_dev, np.uint32)
+        args = distributed.globalize(
+            mesh, (tables, n_per, base_key), (P(), P(), P())
+        )
+        out = fn(*args)
+        return distributed.localize(mesh, out, (P(), P()))
 
     return traced
