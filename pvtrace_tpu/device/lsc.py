@@ -298,6 +298,83 @@ class LSC(object):
 
     # -- simulation ----------------------------------------------------
 
+    def gradient(self, n=200_000, seed=None, component=None):
+        """Monte-Carlo gradient of the optical efficiency (north star).
+
+        Returns d(optical efficiency) / d log(coefficient scale) of
+        ``component`` (default: the first luminophore — i.e. the
+        derivative w.r.t. log dye concentration) from ONE device-engine
+        run, using the tracer's score-function accumulators: each
+        solar-cell facet recorder tallies distinct escaping photons
+        together with their path score at the collection event, so with
+        A = collected fraction and I = incident fraction,
+
+            d(A / I) = (dA * I - A * dI) / I**2
+
+        with dA, dI taken from the recorder score sums. Counts include
+        every photon crossing the cell facets (with top illumination
+        essentially all are luminescent), unlike ``summary()`` which
+        filters by source. Requires solar cells (``add_solar_cell``).
+
+        Returns dict(optical_efficiency, gradient, component).
+        """
+        if not self._solar_cell_surfaces:
+            raise ValueError(
+                "gradient() needs solar cells; call add_solar_cell first."
+            )
+        if self._scene is None:
+            self._make_scene()
+        scene = self._scene
+        from pvtrace_tpu.engine.api import simulate
+        from pvtrace_tpu.engine.recorder import Recorder
+
+        lsc_node = next(
+            node for node in scene.root.iter_preorder() if node.name == "LSC"
+        )
+        saved = list(getattr(lsc_node, "recorders", []))
+        cells = sorted(self._solar_cell_surfaces)
+        try:
+            lsc_node.recorders = saved + [
+                Recorder(
+                    f"__cell_{facet}", event="escaping",
+                    facet=_FACET_NORMALS[facet],
+                )
+                for facet in cells
+            ] + [Recorder("__incident", event="entering")]
+            result = simulate(
+                scene, n, seed=seed, record_every=0, score=True
+            )
+        finally:
+            lsc_node.recorders = saved
+
+        comp_names = list(result.compiled.component_names)
+        if component is None:
+            component = next(
+                data["name"] for data in self._user_components
+                if data["cls"] is Luminophore
+            )
+        channel = comp_names.index(component)
+
+        order = [spec.name for spec in result.compiled.recorder_specs]
+        distinct = np.asarray(result.data["rec_distinct"], dtype=float)
+        scores = np.asarray(result.data["rec_scores"], dtype=float)
+        cell_rows = [order.index(f"__cell_{facet}") for facet in cells]
+        inc_row = order.index("__incident")
+
+        collected = sum(distinct[row] for row in cell_rows) / n
+        incident = distinct[inc_row] / n
+        d_collected = sum(scores[row, channel] for row in cell_rows) / n
+        d_incident = scores[inc_row, channel] / n
+        if incident == 0:
+            raise ValueError("No incident photons; cannot form the ratio.")
+        efficiency = collected / incident
+        grad = (d_collected * incident - collected * d_incident) / incident**2
+        return {
+            "optical_efficiency": float(efficiency),
+            "gradient": float(grad),
+            "component": component,
+        }
+
     def simulate(self, n, progress=None, emit_method="kT", engine="auto",
                  seed=None):
         """Trace `n` photons and build the results dataframe.

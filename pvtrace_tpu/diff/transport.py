@@ -23,23 +23,29 @@ from pvtrace_tpu.engine import compiler as comp
 from pvtrace_tpu.light.event import Event
 
 
-def fate_gradients(scene, num_rays, seed=None, **kwargs):
+def fate_gradients(scene, num_rays, seed=None, wrt="components", **kwargs):
     """Full multi-bounce gradients of fate fractions from ONE run.
 
     Score-function (likelihood-ratio) estimator, accumulated on device
-    by the wavefront tracer: every free-path sample and component
-    roulette contributes d log p(path)/d log(scale_c), and at
+    by the wavefront tracer: every free-path sample, component roulette
+    and Fresnel coin flip contributes d log p(path)/d theta, and at
     termination the path score is folded into its fate's accumulator,
     so
 
-        d P(fate) / d log(scale_c)  =  E[ 1{fate} * score_c ].
+        d P(fate) / d theta  =  E[ 1{fate} * score_theta ].
 
     Returns (fractions, gradients): ``fractions[Event]`` is the fate
-    fraction, ``gradients[Event]`` is a [n_components] array of
-    d fraction / d log(component coefficient scale). Discrete events
-    (Fresnel coin flips, quantum-yield) do not depend on the scales, so
-    no reparameterisation is needed — this is exact in expectation,
-    unlike finite differences, and costs a single simulation.
+    fraction; ``gradients[Event]`` depends on ``wrt``:
+
+    - ``"components"`` (default): [n_components] array of
+      d fraction / d log(component coefficient scale). Exact in
+      expectation — discrete events don't depend on the scales.
+    - ``"refractive_index"``: [n_nodes] array of d fraction / d n_k
+      from the Fresnel reflect/transmit probabilities (the coin-flip
+      likelihood term). The deterministic Snell bending of transmitted
+      directions is NOT differentiated, so this is the full derivative
+      at normal incidence and the probability-path partial otherwise.
+    - ``"all"``: [n_components + n_nodes], both blocks concatenated.
 
     kwargs pass through to ``engine.simulate`` (lanes, dtype, ...).
     """
@@ -49,12 +55,27 @@ def fate_gradients(scene, num_rays, seed=None, **kwargs):
         scene, num_rays, seed=seed, record_every=0, score=True, **kwargs
     )
     scores = np.asarray(result.data["fate_scores"], dtype=np.float64)
+    n_comps = int(result.compiled.n_components)
+    scores = _slice_channels(scores, n_comps, wrt)
     fates = np.asarray(result.data["fates"], dtype=np.float64)
     fractions, gradients = {}, {}
     for event in (Event.EXIT, Event.NONRADIATIVE, Event.REACT, Event.KILL):
         fractions[event] = fates[event.value] / num_rays
         gradients[event] = scores[event.value] / num_rays
     return fractions, gradients
+
+
+def _slice_channels(scores, n_comps, wrt):
+    """Select score channels: components block, node-n block, or both."""
+    if wrt == "components":
+        return scores[..., :n_comps]
+    if wrt == "refractive_index":
+        return scores[..., n_comps:]
+    if wrt == "all":
+        return scores
+    raise ValueError(
+        f"wrt must be 'components', 'refractive_index' or 'all'; got {wrt!r}"
+    )
 
 
 def _absorbing_node(compiled):
@@ -96,8 +117,44 @@ def absorbed_fraction_fn(compiled):
             tmin = (-b - sq) / 2.0
             tmax = (-b + sq) / 2.0
             tmax = jnp.where(disc >= 0, tmax, -1.0)
+        elif gtype == comp.GEOM_CYLINDER:
+            # Capped z-cylinder chord: intersect the infinite-barrel
+            # quadratic interval with the end-cap z-slab interval.
+            length, radius = float(gp[0]), float(gp[1])
+            big = jnp.asarray(1e30, jnp.float32)
+            ox, oy, oz = o[..., 0], o[..., 1], o[..., 2]
+            dx_, dy_, dz_ = d[..., 0], d[..., 1], d[..., 2]
+            a = dx_ * dx_ + dy_ * dy_
+            b = 2.0 * (ox * dx_ + oy * dy_)
+            cq = ox * ox + oy * oy - radius * radius
+            disc = b * b - 4.0 * a * cq
+            sq = jnp.sqrt(jnp.clip(disc, 0.0, None))
+            a_safe = jnp.maximum(a, 1e-20)
+            axial = a < 1e-20  # ray parallel to the axis
+            in_barrel = cq < 0.0
+            bar_lo = jnp.where(
+                axial, jnp.where(in_barrel, -big, big), (-b - sq) / (2 * a_safe)
+            )
+            bar_hi = jnp.where(
+                axial, jnp.where(in_barrel, big, -big), (-b + sq) / (2 * a_safe)
+            )
+            bar_hi = jnp.where(~axial & (disc < 0.0), -big, bar_hi)
+            half = 0.5 * length
+            dz_safe = jnp.where(jnp.abs(dz_) < 1e-20, 1e-20, dz_)
+            z1 = (-half - oz) / dz_safe
+            z2 = (half - oz) / dz_safe
+            flat = jnp.abs(dz_) < 1e-20  # ray parallel to the caps
+            in_slab = jnp.abs(oz) < half
+            cap_lo = jnp.where(
+                flat, jnp.where(in_slab, -big, big), jnp.minimum(z1, z2)
+            )
+            cap_hi = jnp.where(
+                flat, jnp.where(in_slab, big, -big), jnp.maximum(z1, z2)
+            )
+            tmin = jnp.maximum(bar_lo, cap_lo)
+            tmax = jnp.minimum(bar_hi, cap_hi)
         else:
-            raise NotImplementedError("cylinder chord")
+            raise NotImplementedError(f"chord for geometry type {gtype}")
         chord = jnp.clip(tmax - jnp.maximum(tmin, 0.0), 0.0, None)
         chord = jnp.where(tmax > 0.0, chord, 0.0)
         # alpha(lambda) lookup on the shared uniform grid

@@ -282,6 +282,10 @@ def _get_tracer(compiled, cfg, lanes=None):
                 floats = jnp.concatenate(
                     [floats, jnp.ravel(tallies["fate_scores"])]
                 )
+                if "rec_scores" in tallies:
+                    floats = jnp.concatenate(
+                        [floats, jnp.ravel(tallies["rec_scores"])]
+                    )
             return ints, floats, log
 
         if compiled.lights_supported:
@@ -442,8 +446,14 @@ def simulate(
         "steps": int(steps[0]),
     }
     if score:
-        C = max(cfg.n_comps, 1)
-        data["fate_scores"] = floats[R * 8 :].reshape(11, C)
+        # Channel layout: [0, n_comps) component log-scale scores,
+        # [n_comps, n_comps + n_nodes) refractive-index scores.
+        CH = cfg.n_comps + cfg.n_nodes
+        data["fate_scores"] = floats[R * 8: R * 8 + 11 * CH].reshape(11, CH)
+        if cfg.n_recorders > 0:
+            data["rec_scores"] = floats[R * 8 + 11 * CH:].reshape(
+                cfg.n_recorders, CH
+            )
     log_fields = (
         "kind", "hit", "container", "adjacent", "component", "source",
         "position", "direction", "normal", "wavelength", "travelled",

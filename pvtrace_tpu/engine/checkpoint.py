@@ -90,18 +90,24 @@ class AccumulatedResult:
             out["NO_HIT"] = int(self._fates[10])
         return out
 
-    def fate_gradients(self):
+    def fate_gradients(self, wrt="components"):
         """(fractions, gradients) over the traced photons so far — see
-        ``pvtrace_tpu.diff.transport.fate_gradients``. Requires the run
-        to have been made with ``score=True``."""
+        ``pvtrace_tpu.diff.transport.fate_gradients`` (same ``wrt``
+        channel selection). Requires the run to have been made with
+        ``score=True``."""
+        from pvtrace_tpu.diff.transport import _slice_channels
+
         if self._fate_scores is None:
             raise ValueError("Run with score=True to accumulate scores.")
         n = max(self.traced, 1)
+        scores = _slice_channels(
+            self._fate_scores, int(self.compiled.n_components), wrt
+        )
         fractions, gradients = {}, {}
         for event in (Event.EXIT, Event.NONRADIATIVE, Event.REACT,
                       Event.KILL):
             fractions[event] = self._fates[event.value] / n
-            gradients[event] = self._fate_scores[event.value] / n
+            gradients[event] = scores[event.value] / n
         return fractions, gradients
 
     # -- persistence ----------------------------------------------------
@@ -221,7 +227,7 @@ def simulate_checkpointed(
             seed=seed,
             bundle=bundle,
             fate_scores=(
-                np.zeros((11, max(compiled.n_components, 1)))
+                np.zeros((11, compiled.n_components + len(compiled.nodes)))
                 if score else None
             ),
         )

@@ -169,6 +169,22 @@ def _eval_fit(t, fit):
     return v
 
 
+def _fresnel_R_scalar(n1, n2, c1):
+    """Unpolarised Fresnel reflectivity as a smooth scalar function of
+    the two refractive indices and the incidence cosine — kept separate
+    so its exact partials come from autodiff (see the score block)."""
+    s2 = jnp.clip(1.0 - c1 * c1, 0.0, 1.0)
+    ratio = n1 / n2
+    under = jnp.clip(1.0 - ratio * ratio * s2, 0.0, None)
+    k = jnp.sqrt(under)
+    rs = ((n1 * c1 - n2 * k) / (n1 * c1 + n2 * k)) ** 2
+    rp = ((n1 * k - n2 * c1) / (n1 * k + n2 * c1)) ** 2
+    return 0.5 * (rs + rp)
+
+
+_fresnel_dR = jax.vmap(jax.grad(_fresnel_R_scalar, argnums=(0, 1)))
+
+
 from pvtrace_tpu.engine import compiler as comp
 
 # Matches the reference kernel's constants (_kernel.pyx:29-34)
@@ -518,24 +534,32 @@ def _empty_tallies(cfg, B):
         "fates": jnp.zeros(N_FATES, dtype=jnp.int32),
     }
     if cfg.score:
-        # Score-function (likelihood-ratio) accumulators: per terminal
-        # fate, the sum over photons of d log p(path) / d log(scale_c)
-        # for every component c. d(fate fraction)/d log c is then
-        # fate_scores[fate, c] / num_rays.
-        out["fate_scores"] = jnp.zeros(
-            (N_FATES, max(cfg.n_comps, 1)), dtype=cfg.dtype
-        )
+        # Score-function (likelihood-ratio) accumulators. Channel
+        # layout: [0, n_comps) are d log p(path) / d log(scale_c) per
+        # component; [n_comps, n_comps + n_nodes) are d log p(path) /
+        # d n_k per node refractive index (Fresnel coin probabilities).
+        # d(fate fraction)/d theta is fate_scores[fate, ch] / num_rays.
+        ch = cfg.n_comps + cfg.n_nodes
+        out["fate_scores"] = jnp.zeros((N_FATES, ch), dtype=cfg.dtype)
+        if cfg.n_recorders > 0:
+            # Same estimator per recorder: the path score at a photon's
+            # FIRST matching interaction gives d(distinct fraction)/d
+            # theta — draws after the claim cannot change membership.
+            out["rec_scores"] = jnp.zeros(
+                (cfg.n_recorders, ch), dtype=cfg.dtype
+            )
     return out
 
 
 def _tally(tallies, compiled, cfg, sel, tnode, have_normal, wnormal3, lpos3,
-           angle, wavelength, travelled, duration):
+           angle, wavelength, travelled, duration, score=None):
     """Accumulate one (optional) interaction per photon into matching
     recorders (kernel tally, _kernel.pyx:501-556)."""
     seen0 = tallies["seen"]
     seen = seen0
     distinct, cross = tallies["distinct"], tallies["cross"]
     sums, bins = tallies["sums"], tallies["bins"]
+    rec_scores = tallies.get("rec_scores") if score is not None else None
     props = {
         0: wavelength, 1: angle, 2: duration, 3: travelled,
         4: lpos3[0], 5: lpos3[1], 6: lpos3[2],
@@ -575,6 +599,8 @@ def _tally(tallies, compiled, cfg, sel, tnode, have_normal, wnormal3, lpos3,
                 ]
             )
         )
+        if rec_scores is not None:
+            rec_scores = rec_scores.at[r].add(jnp.sum(score * newf, axis=1))
     for (r, prop_a, prop_b, na, nb, lo_a, hi_a, lo_b, hi_b, offset) in cfg.hist_specs:
         m = match_mask(r)
         new = m & ~seen0[:, r]
@@ -596,6 +622,8 @@ def _tally(tallies, compiled, cfg, sel, tnode, have_normal, wnormal3, lpos3,
     out["cross"] = cross
     out["sums"] = sums
     out["bins"] = bins
+    if rec_scores is not None:
+        out["rec_scores"] = rec_scores
     return out
 
 
@@ -885,7 +913,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         "tallies": _empty_tallies(cfg, B),
     }
     if cfg.score:
-        state["score"] = jnp.zeros((max(cfg.n_comps, 1), B), f)
+        state["score"] = jnp.zeros((cfg.n_comps + cfg.n_nodes, B), f)
     if regen is not None:
         regen_base_key, regen_total = regen
         state["pid"] = photon_ids
@@ -1321,6 +1349,9 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         if want_extras:
             # Everything the event-log records and the score estimator
             # need, snapshotted at the semantically correct points.
+            fres_coin = is_fresnel & ~tir
+            if any_overrides:
+                fres_coin = fres_coin & (ovr_mode == comp.OVR_NONE)
             out.update(
                 hit=hit, container=container, adjacent=adjacent,
                 comp_id=comp_id, absorbed=absorbed, radiative=radiative,
@@ -1330,6 +1361,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                 moving=moving, advance=advance, alpha=alpha,
                 dur_adv=dur_adv, source_pre=source_pre,
                 slot_vals=slot_vals,
+                n1r=n1r, n2r=n2r, refl_r=r, fres_coin=fres_coin,
             )
         return out
 
@@ -1668,26 +1700,52 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         )
 
         # --- score accumulation ----------------------------------------
-        if cfg.score and has_spectra:
-            cums = r["slot_vals"]
+        if cfg.score:
             contribs = []
-            for c in range(n_comps):
-                terms = []
-                for n in range(N):
-                    comp_ids_n = node_static[n][3]
-                    if c not in comp_ids_n:
-                        continue
-                    k_own = comp_ids_n.index(c)
-                    a_c = cums[k_own] - (
-                        cums[k_own - 1] if k_own > 0 else 0.0
-                    )
-                    terms.append((n, a_c))
-                a_here = jnp.zeros(B, f)
-                for n, a_c in terms:
-                    a_here = jnp.where(r["container"] == n, a_c, a_here)
-                ds = jnp.where(r["moving"], -a_here * r["advance"], 0.0)
-                ds = ds + (r["absorbed"] & (r["comp_id"] == c)).astype(f)
-                contribs.append(ds)
+            if has_spectra:
+                cums = r["slot_vals"]
+                for c in range(n_comps):
+                    terms = []
+                    for n in range(N):
+                        comp_ids_n = node_static[n][3]
+                        if c not in comp_ids_n:
+                            continue
+                        k_own = comp_ids_n.index(c)
+                        a_c = cums[k_own] - (
+                            cums[k_own - 1] if k_own > 0 else 0.0
+                        )
+                        terms.append((n, a_c))
+                    a_here = jnp.zeros(B, f)
+                    for n, a_c in terms:
+                        a_here = jnp.where(r["container"] == n, a_c, a_here)
+                    ds = jnp.where(r["moving"], -a_here * r["advance"], 0.0)
+                    ds = ds + (r["absorbed"] & (r["comp_id"] == c)).astype(f)
+                    contribs.append(ds)
+            else:
+                contribs.extend(jnp.zeros(B, f) for _ in range(n_comps))
+            # Refractive-index channels (one per node): each Fresnel
+            # coin flip contributes d log P / d n_k, with P = R on the
+            # reflected branch and 1 - R on the transmitted branch; n1
+            # is the container's index and n2 the adjacent's, so one
+            # interaction feeds up to two node channels. TIR and
+            # facet-override interactions have P = 1 fixed (zero
+            # score). NOTE: the deterministic Snell bending of the
+            # transmitted direction is NOT differentiated — the
+            # estimator captures the probability dependence only, which
+            # is exact when transmitted geometry is n-independent
+            # (normal incidence) and a partial derivative otherwise.
+            dR1, dR2 = _fresnel_dR(r["n1r"], r["n2r"], r["c_in"])
+            rr = r["refl_r"]
+            coin = r["fres_coin"] & (r["reflecting"] | r["transmitting"])
+            ratio_r = 1.0 / jnp.maximum(rr, 1e-12)
+            ratio_t = -1.0 / jnp.maximum(1.0 - rr, 1e-12)
+            branch = jnp.where(r["reflecting"], ratio_r, ratio_t)
+            w1 = jnp.where(coin, jnp.nan_to_num(dR1 * branch), 0.0)
+            w2 = jnp.where(coin, jnp.nan_to_num(dR2 * branch), 0.0)
+            for k in range(N):
+                ck = jnp.where(r["container"] == k, w1, 0.0)
+                ck = ck + jnp.where(r["adjacent"] == k, w2, 0.0)
+                contribs.append(ck)
             score = score + jnp.stack(contribs)
 
         if cfg.score:
@@ -1745,6 +1803,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                 tallies, compiled, cfg, sel, tnode, r["have_n"],
                 (r["wnx"], r["wny"], r["wnz"]), (tlx, tly, tlz), angle,
                 r["wav"], r["trav"], r["dur"],
+                score=score if cfg.score else None,
             )
             new_tallies["fates"] = fates
             tallies = new_tallies

@@ -146,3 +146,138 @@ def test_score_zero_for_unscaled_paths():
                                           dtype=np.float64)
     assert fractions[Event.EXIT] > 0.99
     assert np.all(np.abs(gradients[Event.EXIT]) < 1e-6)
+
+
+def fresnel_slab_scene(n_slab=1.5, alpha=0.5):
+    """Collimated normal-incidence light on a Fresnel slab with an
+    absorber: every surface coin is R = ((n-1)/(n+1))^2 and the path
+    geometry is independent of n, so d(fate)/dn is analytic."""
+    world = Node(
+        name="world",
+        geometry=Sphere(radius=10.0, material=Material(refractive_index=1.0)),
+    )
+    Node(
+        name="slab",
+        parent=world,
+        geometry=Box(
+            (2.0, 2.0, 1.0),
+            material=Material(
+                refractive_index=n_slab,
+                components=[Absorber(alpha)],
+            ),
+        ),
+    )
+    light = Node(
+        name="light",
+        parent=world,
+        light=Light(wavelength=ConstantWavelengthMask(555.0)),
+    )
+    light.translate((0.0, 0.0, 3.0))
+    light.rotate(np.radians(180), (1, 0, 0))
+    return Scene(world)
+
+
+def test_refractive_index_gradient_matches_analytic():
+    """d P(NONRADIATIVE) / d n_slab on the normal-incidence slab.
+
+    P(R) = (1-R)(1-T)/(1-RT) with T = exp(-alpha L); every coin is
+    R(n) = ((n-1)/(n+1))^2, so dP/dn = dP/dR * dR/dn exactly (the
+    transmitted geometry is n-independent at normal incidence)."""
+    n_slab, alpha, L = 1.5, 0.5, 1.0
+    N = 200_000
+    fractions, grads = fate_gradients(
+        fresnel_slab_scene(n_slab, alpha), N, seed=3,
+        wrt="refractive_index", dtype=np.float64,
+    )
+    R = ((n_slab - 1) / (n_slab + 1)) ** 2
+    T = np.exp(-alpha * L)
+    p_abs = (1 - R) * (1 - T) / (1 - R * T)
+    dR_dn = 4 * (n_slab - 1) / (n_slab + 1) ** 3
+    dP_dR = -((1 - T) ** 2) / (1 - R * T) ** 2
+    expect = dP_dR * dR_dn
+
+    sigma = np.sqrt(p_abs * (1 - p_abs) / N)
+    assert abs(fractions[Event.NONRADIATIVE] - p_abs) < 5 * sigma
+
+    # channel layout: one channel per node, preorder (world, slab, light)
+    got = grads[Event.NONRADIATIVE][1]
+    assert abs(got - expect) < 0.005, (got, expect)
+    # EXIT picks up the opposite sign (probabilities sum to 1)
+    assert abs(grads[Event.EXIT][1] + expect) < 0.005
+
+
+def test_cylinder_chord_matches_analytic():
+    """absorbed_fraction_fn supports cylinders: axial chord = length,
+    radial chord through the axis = 2 * radius."""
+    import jax.numpy as jnp
+
+    from pvtrace_tpu.engine.compiler import compile_scene
+    from pvtrace_tpu.diff.transport import absorbed_fraction_fn
+    from pvtrace_tpu.geometry.cylinder import Cylinder
+
+    world = Node(
+        name="world",
+        geometry=Sphere(radius=10.0, material=Material(refractive_index=1.0)),
+    )
+    Node(
+        name="rod",
+        parent=world,
+        geometry=Cylinder(
+            length=2.0, radius=0.5,
+            material=Material(
+                refractive_index=1.0, components=[Absorber(0.7)]
+            ),
+        ),
+    )
+    Node(name="light", parent=world, light=Light())
+    compiled = compile_scene(Scene(world))
+    weight = absorbed_fraction_fn(compiled)
+
+    params = {"log_concentration": jnp.asarray(0.0)}
+    pos = jnp.asarray(
+        [[0.0, 0.0, -5.0],   # axial, through both caps
+         [-5.0, 0.0, 0.0],   # radial, through the axis
+         [-5.0, 0.0, 5.0]],  # misses entirely
+        jnp.float32,
+    )
+    dirs = jnp.asarray(
+        [[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]], jnp.float32
+    )
+    wav = jnp.asarray([555.0, 555.0, 555.0], jnp.float32)
+    got = np.asarray(weight(params, pos, dirs, wav))
+    expect = np.array(
+        [1 - np.exp(-0.7 * 2.0), 1 - np.exp(-0.7 * 1.0), 0.0]
+    )
+    np.testing.assert_allclose(got, expect, atol=2e-4)
+
+
+def test_lsc_gradient_matches_finite_differences():
+    """LSC.gradient (d optical-efficiency / d log dye concentration)
+    vs central finite differences with common random numbers."""
+    from pvtrace_tpu.device.lsc import LSC
+
+    x = np.arange(400, 801, dtype=float)
+
+    def make(scale):
+        lsc = LSC((5.0, 5.0, 1.0))
+        lsc.add_luminophore(
+            "dye",
+            np.column_stack(
+                (x, scale * 5.0 * lumogen_f_red_305.absorption(x))
+            ),
+            np.column_stack((x, lumogen_f_red_305.emission(x))),
+            quantum_yield=0.9,
+        )
+        lsc.add_absorber("bg", 0.1)
+        lsc.add_solar_cell({"left", "right", "near", "far"})
+        return lsc
+
+    N = 150_000
+    base = make(1.0).gradient(n=N, seed=11, component="dye")
+    assert 0.0 < base["optical_efficiency"] < 1.0
+
+    delta = 0.15
+    hi = make(np.exp(delta)).gradient(n=N, seed=11, component="dye")
+    lo = make(np.exp(-delta)).gradient(n=N, seed=11, component="dye")
+    fd = (hi["optical_efficiency"] - lo["optical_efficiency"]) / (2 * delta)
+    assert abs(base["gradient"] - fd) < 0.02, (base["gradient"], fd)
