@@ -354,6 +354,14 @@ def simulate(
     not the max. "auto" picks `min(num_rays, 2**19)`; None disables
     regeneration.
 
+    COST NOTE: `record_every > 0` (event-log histories) switches the
+    tracer off its tallies-only fast path — every step additionally
+    writes packed event records and the run allocates O(n_slots *
+    max_events) device memory — expect roughly 2-4x lower throughput
+    and use it for validation/debugging, not production tallies
+    (docs/PERF.md). `record_every=0` keeps recorders and fates exact
+    with none of that cost.
+
     With `score=True` the tracer also accumulates score-function
     (likelihood-ratio) gradient sums: `result.data["fate_scores"][f, c]`
     such that d(fraction of fate f)/d log(scale of component c) =
@@ -454,17 +462,19 @@ def simulate(
             data["rec_scores"] = floats[R * 8 + 11 * CH:].reshape(
                 cfg.n_recorders, CH
             )
-    log_fields = (
-        "kind", "hit", "container", "adjacent", "component", "source",
-        "position", "direction", "normal", "wavelength", "travelled",
-        "duration",
-    )
-    if cfg.n_slots > 0:
-        for name in log_fields:
-            data[name] = np.asarray(log[name])[: cfg.n_slots]
-    else:
-        for name in log_fields:
-            data[name] = np.asarray(log[name])[:0]
+    # Unpack the two packed log arrays into the per-field view the
+    # result API exposes (see tracer._LOG_INTS / _LOG_VECS layout).
+    rows = cfg.n_slots if cfg.n_slots > 0 else 0
+    log_ints = np.asarray(log["ints"])[:rows]
+    log_floats = np.asarray(log["floats"])[:rows]
+    for i, name in enumerate(
+        ("kind", "hit", "container", "adjacent", "component", "source")
+    ):
+        data[name] = log_ints[..., i]
+    for i, name in enumerate(("position", "direction", "normal")):
+        data[name] = log_floats[..., 3 * i: 3 * i + 3]
+    for i, name in enumerate(("wavelength", "travelled", "duration")):
+        data[name] = log_floats[..., 9 + i]
 
     return EngineResult(compiled, data, sources, max_events, record_every, elapsed)
 

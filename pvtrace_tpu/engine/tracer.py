@@ -459,23 +459,22 @@ def _local_normal_static(gtype, params, p):
 # Event log (validation path; no-op when record_every == 0)
 
 
+# Event-log layout: two packed arrays so each _record call costs ONE
+# int scatter + ONE float scatter instead of 12 per-field scatters
+# (scatters are latency-bound on TPU; the log path only runs in
+# validation/debug runs with record_every > 0, but those runs were
+# paying 12x the necessary scatter latency per event).
+_LOG_INTS = ("kind", "hit", "container", "adjacent", "component", "source")
+_LOG_VECS = ("position", "direction", "normal")  # floats[..., 0:9]
+_LOG_SCALARS = ("wavelength", "travelled", "duration")  # floats[..., 9:12]
+
+
 def _empty_log(cfg):
     S = cfg.n_slots + 1
     E = cfg.max_events
-    f = cfg.dtype
     return {
-        "kind": jnp.full((S, E), -1, dtype=jnp.int32),
-        "hit": jnp.full((S, E), -1, dtype=jnp.int32),
-        "container": jnp.full((S, E), -1, dtype=jnp.int32),
-        "adjacent": jnp.full((S, E), -1, dtype=jnp.int32),
-        "component": jnp.full((S, E), -1, dtype=jnp.int32),
-        "source": jnp.full((S, E), -1, dtype=jnp.int32),
-        "position": jnp.zeros((S, E, 3), dtype=f),
-        "direction": jnp.zeros((S, E, 3), dtype=f),
-        "normal": jnp.zeros((S, E, 3), dtype=f),
-        "wavelength": jnp.zeros((S, E), dtype=f),
-        "travelled": jnp.zeros((S, E), dtype=f),
-        "duration": jnp.zeros((S, E), dtype=f),
+        "ints": jnp.full((S, E, len(_LOG_INTS)), -1, dtype=jnp.int32),
+        "floats": jnp.zeros((S, E, 12), dtype=cfg.dtype),
     }
 
 
@@ -491,32 +490,34 @@ def _record(log, nevents, slot, mask, cfg, *, kind, hit, container, adjacent,
     col = jnp.clip(nevents, 0, E - 1)
     B = mask.shape[0]
 
-    def put_scalar(name, values):
-        cur = log[name][row, col]
-        log[name] = log[name].at[row, col].set(jnp.where(write, values, cur))
-
-    def put_vec(name, values):
-        cur = log[name][row, col]
-        log[name] = log[name].at[row, col].set(
-            jnp.where(write[..., None], values, cur)
-        )
-
     as_i = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.int32), (B,))
     as_f = lambda v: jnp.broadcast_to(jnp.asarray(v, cfg.dtype), (B,))
-    put_scalar("kind", as_i(kind))
-    put_scalar("hit", as_i(hit))
-    put_scalar("container", as_i(container))
-    put_scalar("adjacent", as_i(adjacent))
-    put_scalar("component", as_i(component))
-    put_scalar("source", as_i(source))
+    ints = jnp.stack(
+        [as_i(v) for v in (kind, hit, container, adjacent, component, source)],
+        axis=-1,
+    )
     zero3 = jnp.zeros((B, 3), cfg.dtype)
-    put_vec("position", pos3.astype(cfg.dtype))
-    put_vec("direction", dir3.astype(cfg.dtype))
-    put_vec("normal", (normal3 if normal3 is not None else zero3).astype(cfg.dtype))
-    put_scalar("wavelength", as_f(wavelength))
-    put_scalar("travelled", as_f(travelled))
-    put_scalar("duration", as_f(duration))
-    return log, nevents + write.astype(jnp.int32)
+    floats = jnp.concatenate(
+        [
+            pos3.astype(cfg.dtype),
+            dir3.astype(cfg.dtype),
+            (normal3 if normal3 is not None else zero3).astype(cfg.dtype),
+            jnp.stack(
+                [as_f(v) for v in (wavelength, travelled, duration)], axis=-1
+            ),
+        ],
+        axis=-1,
+    )
+    out = dict(log)
+    cur_i = log["ints"][row, col]
+    out["ints"] = log["ints"].at[row, col].set(
+        jnp.where(write[:, None], ints, cur_i)
+    )
+    cur_f = log["floats"][row, col]
+    out["floats"] = log["floats"].at[row, col].set(
+        jnp.where(write[:, None], floats, cur_f)
+    )
+    return out, nevents + write.astype(jnp.int32)
 
 
 # ----------------------------------------------------------------------
@@ -1924,7 +1925,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
     # not enough).
     if cfg.n_slots > 0:
         counts = jnp.sum(
-            state["log"]["kind"][: cfg.n_slots] >= 0, axis=1
+            state["log"]["ints"][: cfg.n_slots, :, 0] >= 0, axis=1
         ).astype(jnp.int32)
     else:
         counts = jnp.zeros(1, jnp.int32)

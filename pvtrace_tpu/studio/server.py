@@ -447,6 +447,7 @@ def _histogram_meta(compiled):
         meta[spec.name] = {
             "event": spec.event,
             "node": compiled.node_names[int(compiled.rec_node[r])],
+            "facet": list(spec.facet) if spec.facet else None,
             "histograms": entries,
         }
     return meta

@@ -15,6 +15,7 @@ const state = {
   running: false,
   histMeta: null,     // histogram metadata for the current run
   recorders: null,    // latest recorder tallies
+  gizmo: null,        // live drag-to-move state {name, world}
 };
 
 const $ = (id) => document.getElementById(id);
@@ -210,6 +211,9 @@ function drawViewport() {
   line([0, 0, 0], [0, 1, 0], "#2f6b2f", 1.5);
   line([0, 0, 0], [0, 0, 1], "#2d5e95", 1.5);
 
+  // recorder heatmaps painted on geometry faces, under everything else
+  drawFaceHeatmaps(context, width, height);
+
   // ray paths first so geometry reads on top
   context.globalAlpha = 0.75;
   for (const path of state.paths) {
@@ -240,22 +244,172 @@ function drawViewport() {
       context.fill();
     }
   }
+
+  drawGizmo(context, width, height);
+}
+
+// Transform gizmo: a handle at the selected node's origin. Dragging it
+// moves the node in the camera-parallel plane through its origin and
+// posts an `op: move` patch (the server converts the world position to
+// the parent frame and round-trips the YAML document).
+
+function selectedNode() {
+  if (!state.scene || !state.selected) return null;
+  const node = state.scene.nodes.find((n) => n.name === state.selected);
+  return node && !node.root ? node : null;
+}
+
+function nodeOrigin(node) {
+  return [node.matrix[3], node.matrix[7], node.matrix[11]];
+}
+
+function drawGizmo(context, width, height) {
+  const node = selectedNode();
+  if (!node) return;
+  const origin = nodeOrigin(node);
+  const p = project(origin, width, height);
+  if (!p) return;
+  context.strokeStyle = state.gizmo ? "#ffb14d" : "#4da3ff";
+  context.lineWidth = 2;
+  context.beginPath();
+  context.arc(p[0], p[1], GIZMO_RADIUS, 0, 2 * Math.PI);
+  context.stroke();
+  context.beginPath();
+  context.moveTo(p[0] - GIZMO_RADIUS - 4, p[1]);
+  context.lineTo(p[0] + GIZMO_RADIUS + 4, p[1]);
+  context.moveTo(p[0], p[1] - GIZMO_RADIUS - 4);
+  context.lineTo(p[0], p[1] + GIZMO_RADIUS + 4);
+  context.stroke();
+}
+
+const GIZMO_RADIUS = 10;
+
+function gizmoHit(node, clientX, clientY, canvas) {
+  const rect = canvas.getBoundingClientRect();
+  const p = project(nodeOrigin(node), canvas.width, canvas.height);
+  if (!p) return null;
+  const dx = clientX - rect.left - p[0];
+  const dy = clientY - rect.top - p[1];
+  if (Math.hypot(dx, dy) > GIZMO_RADIUS + 6) return null;
+  return { depth: p[2] };
+}
+
+function gizmoDrag(dx, dy, depth) {
+  // Screen delta -> world delta in the camera-parallel plane at depth.
+  const { right, up } = cameraBasis();
+  const k = depth / camera.fov;
+  const node = selectedNode();
+  if (!node) return;
+  for (let i = 0; i < 3; i++) {
+    const d = (dx * right[i] - dy * up[i]) * k;
+    state.gizmo.world[i] += d;
+  }
+  // Live preview: shift the node's matrix translation.
+  node.matrix[3] = state.gizmo.world[0];
+  node.matrix[7] = state.gizmo.world[1];
+  node.matrix[11] = state.gizmo.world[2];
+}
+
+// Recorder heatmaps painted on geometry faces: a facet-filtered
+// escaping recorder with a 2D position heatmap colours its box face by
+// bin count during live runs (viridis, peak-normalised per recorder).
+
+const POSITION_AXES = { x: 0, y: 1, z: 2 };
+
+function drawFaceHeatmaps(context, width, height) {
+  if (!state.scene || !state.histMeta || !state.recorders) return;
+  for (const [name, meta] of Object.entries(state.histMeta)) {
+    if (!meta.facet) continue;
+    const tallies = state.recorders[name];
+    const node = state.scene.nodes.find((n) => n.name === meta.node);
+    if (!tallies || !node || node.type !== "box") continue;
+    meta.histograms.forEach((hist, index) => {
+      if (hist.kind !== "heatmap") return;
+      const axisA = POSITION_AXES[hist.prop_a];
+      const axisB = POSITION_AXES[hist.prop_b];
+      if (axisA === undefined || axisB === undefined) return;
+      const entry = tallies.histograms[index];
+      if (!entry) return;
+      paintFace(context, width, height, node, meta.facet, hist, entry,
+                axisA, axisB);
+    });
+  }
+}
+
+function paintFace(context, width, height, node, facet, hist, entry,
+                   axisA, axisB) {
+  // The fixed local coordinate: the face the facet normal points out of.
+  const fixedAxis = facet.findIndex((v) => Math.abs(v) > 0.5);
+  if (fixedAxis < 0 || fixedAxis === axisA || fixedAxis === axisB) return;
+  const offset = facet[fixedAxis] * (node.params[fixedAxis] / 2);
+  const [na, nb] = entry.shape;
+  const peak = Math.max(1, ...entry.values);
+  const corner = (a, b) => {
+    const local = [0, 0, 0];
+    local[axisA] = a;
+    local[axisB] = b;
+    local[fixedAxis] = offset;
+    return project(mat4Apply(node.matrix, local), width, height);
+  };
+  context.globalAlpha = 0.85;
+  for (let i = 0; i < na; i++) {
+    for (let j = 0; j < nb; j++) {
+      const value = entry.values[i * nb + j];
+      if (!value) continue;
+      const quad = [
+        corner(hist.edges_a[i], hist.edges_b[j]),
+        corner(hist.edges_a[i + 1], hist.edges_b[j]),
+        corner(hist.edges_a[i + 1], hist.edges_b[j + 1]),
+        corner(hist.edges_a[i], hist.edges_b[j + 1]),
+      ];
+      if (quad.some((p) => !p)) continue;
+      const [r, g, b] = heatColor(value / peak);
+      context.fillStyle = `rgb(${r},${g},${b})`;
+      context.beginPath();
+      context.moveTo(quad[0][0], quad[0][1]);
+      for (let k = 1; k < 4; k++) context.lineTo(quad[k][0], quad[k][1]);
+      context.closePath();
+      context.fill();
+    }
+  }
+  context.globalAlpha = 1;
 }
 
 function setupViewportControls() {
   const canvas = $("viewport");
   let dragging = null;
   canvas.addEventListener("mousedown", (event) => {
+    const node = selectedNode();
+    const hit = node && gizmoHit(node, event.clientX, event.clientY, canvas);
+    if (hit) {
+      state.gizmo = {
+        name: node.name,
+        world: nodeOrigin(node),
+        depth: hit.depth,
+      };
+      dragging = { x: event.clientX, y: event.clientY, gizmo: true };
+      drawViewport();
+      return;
+    }
     dragging = { x: event.clientX, y: event.clientY, pan: event.shiftKey };
   });
-  window.addEventListener("mouseup", () => (dragging = null));
+  window.addEventListener("mouseup", () => {
+    if (state.gizmo) {
+      const { name, world } = state.gizmo;
+      state.gizmo = null;
+      patch({ op: "move", node: name, world_position: world });
+    }
+    dragging = null;
+  });
   window.addEventListener("mousemove", (event) => {
     if (!dragging) return;
     const dx = event.clientX - dragging.x;
     const dy = event.clientY - dragging.y;
     dragging.x = event.clientX;
     dragging.y = event.clientY;
-    if (dragging.pan) {
+    if (dragging.gizmo && state.gizmo) {
+      gizmoDrag(dx, dy, state.gizmo.depth);
+    } else if (dragging.pan) {
       const { right, up } = cameraBasis();
       const k = camera.dist / camera.fov;
       for (let i = 0; i < 3; i++)

@@ -181,3 +181,57 @@ def test_run_streams_bundles_and_paths(server):
     assert paths
     assert len(paths[0]["points"]) == len(paths[0]["wavelengths"])
     assert len(paths[0]["points"][0]) == 3
+
+
+def test_histogram_meta_carries_facets():
+    """Facet-filtered recorders expose their facet in the run metadata
+    so the frontend can paint heatmap bins onto the geometry face.
+    Fresh server: the shared fixture's document mutates across tests."""
+    document = os.path.join(DATA, "lsc_scene_studio.yml")
+    httpd = studio_server.create_server(document, host="127.0.0.1", port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = "http://127.0.0.1:%d" % httpd.server_address[1]
+    try:
+        status, _ = request(
+            base, "POST", "/api/patch",
+            {"op": "add-face-recorders", "node": "lsc"},
+        )
+        assert status == 200
+        compiled = studio_server.engine.compile_scene(httpd.studio.scene)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        thread.join(timeout=5)
+    meta = studio_server._histogram_meta(compiled)
+    faceted = [m for m in meta.values() if m["facet"]]
+    assert faceted, "face recorders should carry facet normals"
+    heatmaps = [
+        h
+        for m in faceted
+        for h in m["histograms"]
+        if h["kind"] == "heatmap"
+    ]
+    assert heatmaps, "face recorders should carry position heatmaps"
+    for h in heatmaps:
+        assert h["prop_a"] in ("x", "y", "z")
+        assert "edges_a" in h and "edges_b" in h
+
+
+def test_frontend_has_gizmo_and_face_heatmaps():
+    """The viewport app wires a drag-to-move gizmo (posting op=move
+    patches the server frame-converts) and paints facet heatmaps onto
+    box faces (reference app.js transform gizmo + buildRecorderOverlay)."""
+    app = os.path.join(
+        os.path.dirname(studio_server.__file__), "static", "app.js"
+    )
+    with open(app) as fh:
+        source = fh.read()
+    # gizmo: hit test, live drag, and the move patch on release
+    for needle in ("function gizmoHit", "function gizmoDrag",
+                   '{ op: "move", node: name, world_position: world }'):
+        assert needle in source, needle
+    # face heatmaps: painter keyed on recorder facet + position heatmap
+    for needle in ("function drawFaceHeatmaps", "function paintFace",
+                   "meta.facet"):
+        assert needle in source, needle
