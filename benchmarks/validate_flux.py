@@ -1,19 +1,34 @@
 """10^8-photon FULLSPECTRUM validation on TPU (BASELINE north star).
 
 Reproduces the cross-code comparison (Bose thesis sample, Fluro Red,
-4.8 x 1.8 x 0.26 cm) at 10^8 photons — enough statistics to pin fate
+4.8 x 1.8 x 0.260 cm) at 10^8 photons — enough statistics to pin fate
 fractions to ~0.01% MC error — and prints per-facet exit fractions next
 to the published values from ICL Raytrace / ICL 3D Flux / ECN Raytrace
-(reference examples/Validation.ipynb; BASELINE.md).
+(reference examples/Validation.ipynb "The Sample" cell; BASELINE.md).
 
 The reference's Python tracer needs ~20 min for 4,000 photons; the
 device engine traces 10^8 in seconds.
+
+Usage:
+    python benchmarks/validate_flux.py [N]          # engine run
+    python benchmarks/validate_flux.py --oracle N   # f64 oracle run
+                                                    # (same scene, same
+                                                    # recorder taxonomy)
+
+The oracle mode exists to separate ENGINE error from CONFIGURATION
+error: engine-vs-oracle per-face z-tests on the identical scene pin the
+device tracer; the remaining delta to the published tracers is then a
+configuration question (see docs/VALIDATION.md).
 """
 import json
+import multiprocessing
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pvtrace_tpu import Distribution, engine, fluro_red
 from pvtrace_tpu.device.lsc import LSC
@@ -32,7 +47,12 @@ def lamp_spectrum(x):
 
 def build():
     x = np.arange(400, 801, dtype=float)
-    size = (l, w, d) = (4.8, 1.8, 0.250)
+    # 0.260 cm thick — the notebook's "The Sample" cell. (An earlier
+    # revision used 0.250 here; that 4% thickness deficit shifted ~1.4
+    # points of flux from the edges/top/losses to direct bottom
+    # transmission and accounted for most of the systematic gap to the
+    # published tracers. See docs/VALIDATION.md.)
+    size = (l, w, d) = (4.8, 1.8, 0.260)
     lsc = LSC(size, wavelength_range=x)
     lsc.add_luminophore(
         "Fluro Red",
@@ -69,6 +89,69 @@ def build():
         Recorder("lost", event="lost"),
     ]
     return scene
+
+
+def _oracle_worker(args):
+    """One process's share of the f64 oracle run.
+
+    Re-builds the scene locally (scene graphs are cheaper to rebuild
+    than to pickle), traces its photon share with the per-ray oracle
+    tracer, and tallies with the SAME recorder taxonomy the engine
+    uses (`tally_histories`), in chunks to bound memory.
+    """
+    seed, count = args
+    from pvtrace_tpu.algorithm import photon_tracer
+    from pvtrace_tpu.engine.tally import tally_histories
+
+    scene = build()
+    np.random.seed(seed)
+    totals = {}
+    chunk = []
+    emitted = 0
+
+    def flush():
+        for name, rec in tally_histories(scene, chunk).items():
+            totals[name] = totals.get(name, 0) + rec.rays
+        chunk.clear()
+
+    for ray in scene.emit(count):
+        chunk.append(
+            list(
+                photon_tracer.step_forward(
+                    scene, ray, emit_method="redshift"
+                )
+            )
+        )
+        emitted += 1
+        if len(chunk) >= 2000:
+            flush()
+    if chunk:
+        flush()
+    return totals, emitted
+
+
+def oracle_run(n=1_000_000, workers=None):
+    """Per-face fractions from the float64 per-ray oracle tracer."""
+    workers = workers or multiprocessing.cpu_count()
+    share = [(1000 + i, n // workers) for i in range(workers)]
+    share[-1] = (share[-1][0], n - (n // workers) * (workers - 1))
+    tic = time.perf_counter()
+    with multiprocessing.Pool(workers) as pool:
+        parts = pool.map(_oracle_worker, share)
+    dt = time.perf_counter() - tic
+    totals = {}
+    traced = 0
+    for part, emitted in parts:
+        traced += emitted
+        for name, rays in part.items():
+            totals[name] = totals.get(name, 0) + rays
+    out = {name: rays / traced for name, rays in totals.items()}
+    out["top"] = out.get("top", 0.0) + out.get("top-reflected", 0.0)
+    print(f"oracle: {traced:,} photons in {dt:.0f}s "
+          f"({traced/dt:.0f} rays/s, {workers} workers)")
+    print(json.dumps({"mode": "oracle", "photons": traced,
+                      "seconds": dt, **out}))
+    return out
 
 
 def main(n=100_000_000):
@@ -109,5 +192,9 @@ def main(n=100_000_000):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--oracle":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+        oracle_run(n)
+        sys.exit(0)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
     sys.exit(main(n))

@@ -82,15 +82,177 @@ def rotation_from_matrix(matrix):
     return angle, direction, point
 
 
+_AXIS_INDEX = {"x": 0, "y": 1, "z": 2}
+_AXIS_VECTORS = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+
+
+def _parse_axes(axes):
+    """'sxyz'-style convention string -> (static?, axis index triple).
+
+    First letter: 's' composes about FIXED (extrinsic) axes, 'r' about
+    the ROTATING (intrinsic) frame. A static a-b-c sequence equals the
+    intrinsic c-b-a sequence with the angles reversed, so everything
+    reduces to one intrinsic implementation.
+    """
+    if (
+        len(axes) != 4
+        or axes[0] not in "sr"
+        or any(c not in _AXIS_INDEX for c in axes[1:])
+        or axes[1] == axes[2]
+        or axes[2] == axes[3]
+    ):
+        raise ValueError(f"Unknown Euler convention {axes!r}")
+    return axes[0] == "s", tuple(_AXIS_INDEX[c] for c in axes[1:])
+
+
+def _parity(i, j, k):
+    """Levi-Civita sign of an axis triple (+1 for xyz, yzx, zxy)."""
+    return 1.0 if (j - i) % 3 == 1 else -1.0
+
+
 def euler_matrix(ai, aj, ak, axes="sxyz"):
-    """Matrix from Euler angles. Supports the static 'sxyz' convention
-    (the only one the reference YAML parser exposes)."""
-    if axes != "sxyz":
-        raise NotImplementedError("Only the 'sxyz' convention is supported.")
-    rx = rotation_matrix(ai, (1.0, 0.0, 0.0))
-    ry = rotation_matrix(aj, (0.0, 1.0, 0.0))
-    rz = rotation_matrix(ak, (0.0, 0.0, 1.0))
-    return rz @ ry @ rx
+    """Matrix from Euler angles in any of the 24 conventions."""
+    static, (i, j, k) = _parse_axes(axes)
+    if static:
+        # static a-b-c == intrinsic c-b-a with reversed angles
+        i, j, k = k, j, i
+        ai, ak = ak, ai
+    return concatenate_matrices(
+        rotation_matrix(ai, _AXIS_VECTORS[i]),
+        rotation_matrix(aj, _AXIS_VECTORS[j]),
+        rotation_matrix(ak, _AXIS_VECTORS[k]),
+    )
+
+
+def _peel_first_angle(m, i, j, k, b, c):
+    """Angle of the leading axis-i rotation once b and c are known:
+    R_i(a) = M (R_j(b) R_k(c))^-1, read off the axis-i submatrix."""
+    rest = (
+        rotation_matrix(b, _AXIS_VECTORS[j])
+        @ rotation_matrix(c, _AXIS_VECTORS[k])
+    )[:3, :3]
+    a_mat = m @ rest.T
+    lo, hi = (i + 1) % 3, (i + 2) % 3
+    return float(np.arctan2(a_mat[hi, lo], a_mat[lo, lo]))
+
+
+def euler_from_matrix(matrix, axes="sxyz"):
+    """Euler angles from a rotation matrix, inverse of `euler_matrix`.
+
+    Near gimbal lock the third angle is pinned to 0 and the first
+    absorbs the free degree of freedom (the composed matrix is exact;
+    the angle split is the conventional one).
+    """
+    static, (i, j, k) = _parse_axes(axes)
+    if static:
+        ak, aj, ai = euler_from_matrix(matrix, "r" + axes[3:0:-1])
+        return ai, aj, ak
+
+    m = np.asarray(matrix, dtype=float)[:3, :3]
+    eps = 1e-10
+    if i == k:
+        # Proper Euler sequence i-j-i; third axis only appears in signs.
+        third = 3 - i - j
+        sign = _parity(i, j, third)
+        sb = np.hypot(m[i, j], m[i, third])
+        b = float(np.arctan2(sb, m[i, i]))
+        if sb > eps:
+            c = float(np.arctan2(m[i, j], sign * m[i, third]))
+            a = float(np.arctan2(m[j, i], -sign * m[third, i]))
+        else:
+            c = 0.0
+            a = _peel_first_angle(m, i, j, i, b, c)
+    else:
+        sign = _parity(i, j, k)
+        cb = np.hypot(m[i, i], m[i, j])
+        b = float(np.arctan2(sign * m[i, k], cb))
+        if cb > eps:
+            c = float(np.arctan2(-sign * m[i, j], m[i, i]))
+            a = float(np.arctan2(-sign * m[j, k], m[k, k]))
+        else:
+            c = 0.0
+            a = _peel_first_angle(m, i, j, k, b, c)
+    return a, b, c
+
+
+def quaternion_from_euler(ai, aj, ak, axes="sxyz"):
+    """Quaternion (w, x, y, z) equal to `euler_matrix(ai, aj, ak, axes)`."""
+    return quaternion_from_matrix(euler_matrix(ai, aj, ak, axes))
+
+
+def scale_matrix(factor, origin=None):
+    """Uniform scaling by `factor`, about `origin` when given."""
+    m = np.identity(4) * float(factor)
+    m[3, 3] = 1.0
+    if origin is not None:
+        origin = np.asarray(origin[:3], dtype=float)
+        m[:3, 3] = origin * (1.0 - float(factor))
+    return m
+
+
+def compose_matrix(scale=None, shear=None, angles=None, translate=None):
+    """Matrix from the factors `decompose_matrix` returns.
+
+    M = T @ R @ Sh @ Sc with Sc = diag(scale), Sh the unit upper
+    triangle holding (xy, xz, yz) shear, R = euler_matrix(*angles,
+    'sxyz') and T the translation.
+    """
+    m = np.identity(4)
+    if scale is not None:
+        m[0, 0], m[1, 1], m[2, 2] = scale
+    if shear is not None:
+        sh = np.identity(4)
+        sh[0, 1], sh[0, 2], sh[1, 2] = shear
+        m = sh @ m
+    if angles is not None:
+        m = euler_matrix(*angles, axes="sxyz") @ m
+    if translate is not None:
+        m = translation_matrix(translate) @ m
+    return m
+
+
+def decompose_matrix(matrix):
+    """Factor an affine matrix into (scale, shear, angles, translate).
+
+    Inverse of `compose_matrix` (no perspective support — the scene
+    graph is affine). Shear is (xy, xz, yz); angles are 'sxyz' Euler.
+    Raises ValueError on a singular matrix.
+    """
+    m = np.asarray(matrix, dtype=float)
+    if abs(m[3, 3]) < 1e-14:
+        raise ValueError("Matrix is not an affine transform.")
+    m = m / m[3, 3]
+    translate = m[:3, 3].copy()
+
+    # Gram-Schmidt on the columns: rotation out front, the triangular
+    # residue carries scale on the diagonal and shear off it.
+    a = m[:3, :3].copy()
+    if abs(np.linalg.det(a)) < 1e-14:
+        raise ValueError("Matrix is singular.")
+    scale = np.zeros(3)
+    shear = np.zeros(3)
+
+    scale[0] = np.linalg.norm(a[:, 0])
+    a[:, 0] /= scale[0]
+    shear[0] = float(a[:, 0] @ a[:, 1])  # xy
+    a[:, 1] -= shear[0] * a[:, 0]
+    scale[1] = np.linalg.norm(a[:, 1])
+    a[:, 1] /= scale[1]
+    shear[0] /= scale[1]
+    shear[1] = float(a[:, 0] @ a[:, 2])  # xz
+    a[:, 2] -= shear[1] * a[:, 0]
+    shear[2] = float(a[:, 1] @ a[:, 2])  # yz
+    a[:, 2] -= shear[2] * a[:, 1]
+    scale[2] = np.linalg.norm(a[:, 2])
+    a[:, 2] /= scale[2]
+    shear[1] /= scale[2]
+    shear[2] /= scale[2]
+
+    if np.linalg.det(a) < 0.0:  # left-handed residue: flip one axis
+        scale = -scale
+        a = -a
+    angles = euler_from_matrix(a, "sxyz")
+    return scale, tuple(shear), angles, translate
 
 
 def concatenate_matrices(*matrices):

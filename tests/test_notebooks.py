@@ -1,0 +1,35 @@
+"""Notebook smoke tests: the shipped tutorial/validation notebooks must
+execute end-to-end (the role the reference's examples/*.ipynb play).
+
+Executed with nbclient at a reduced photon count via the
+PVTRACE_TPU_VALIDATE_N environment variable.
+"""
+import os
+
+import nbformat
+import pytest
+from nbclient import NotebookClient
+
+EXAMPLES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
+)
+
+
+@pytest.mark.slow
+def test_validation_notebook_executes(monkeypatch):
+    monkeypatch.setenv("PVTRACE_TPU_VALIDATE_N", "4000")
+    monkeypatch.setenv("MPLBACKEND", "Agg")
+    repo = os.path.dirname(EXAMPLES)
+    monkeypatch.setenv(
+        "PYTHONPATH",
+        repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    path = os.path.join(EXAMPLES, "validation.ipynb")
+    nb = nbformat.read(path, as_version=4)
+    client = NotebookClient(
+        nb, timeout=600, kernel_name="python3",
+        resources={"metadata": {"path": EXAMPLES}},
+    )
+    client.execute()  # raises CellExecutionError on any failing cell
+    # The fate-fraction assertions live in the notebook itself; reaching
+    # here means every cell ran and the ±4% flux-model checks passed.

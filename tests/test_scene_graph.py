@@ -4,6 +4,7 @@ Mirrors reference tests/test_node.py and test_transformable.py: point and
 vector conversions through nested rotated frames.
 """
 import numpy as np
+import pytest
 
 from pvtrace_tpu import Box, Material, Node, Scene, Sphere
 from pvtrace_tpu.geometry.transformations import rotation_matrix, translation_matrix
@@ -126,3 +127,100 @@ class TestSceneIntersections:
         rays = list(scene.emit(1))
         assert np.allclose(rays[0].position, (0.0, 0.0, -5.0))
         assert np.allclose(rays[0].direction, (0.0, 1.0, 0.0))
+
+
+class TestEulerConventions:
+    """All 24 Gohlke-style Euler conventions round-trip (reference
+    vendored transformations.py:1061-1240 equivalents)."""
+
+    CONVENTIONS = [
+        first + a + b + c
+        for first in "sr"
+        for a in "xyz"
+        for b in "xyz"
+        for c in "xyz"
+        if a != b and b != c
+    ]
+
+    def test_roundtrip_all_conventions(self):
+        from pvtrace_tpu.geometry import transformations as tf
+
+        rng = np.random.default_rng(5)
+        assert len(self.CONVENTIONS) == 24
+        for axes in self.CONVENTIONS:
+            for _ in range(8):
+                angles = rng.uniform(-np.pi, np.pi, 3)
+                angles[1] *= 0.45  # stay clear of the lock for roundtrip
+                m = tf.euler_matrix(*angles, axes=axes)
+                back = tf.euler_from_matrix(m, axes=axes)
+                m2 = tf.euler_matrix(*back, axes=axes)
+                np.testing.assert_allclose(m2, m, atol=1e-10), axes
+
+    def test_gimbal_lock_recomposes(self):
+        from pvtrace_tpu.geometry import transformations as tf
+
+        for axes in self.CONVENTIONS:
+            lock = 0.0 if axes[1] == axes[3] else np.pi / 2
+            m = tf.euler_matrix(0.4, lock, -0.9, axes=axes)
+            back = tf.euler_from_matrix(m, axes=axes)
+            np.testing.assert_allclose(
+                tf.euler_matrix(*back, axes=axes), m, atol=1e-8
+            )
+
+    def test_static_equals_reversed_rotating(self):
+        from pvtrace_tpu.geometry import transformations as tf
+
+        m1 = tf.euler_matrix(0.3, -0.6, 1.1, axes="sxyz")
+        m2 = tf.euler_matrix(1.1, -0.6, 0.3, axes="rzyx")
+        np.testing.assert_allclose(m1, m2, atol=1e-12)
+
+    def test_quaternion_from_euler(self):
+        from pvtrace_tpu.geometry import transformations as tf
+
+        q = tf.quaternion_from_euler(0.2, 0.5, -0.7, axes="ryxz")
+        np.testing.assert_allclose(
+            tf.quaternion_matrix(q),
+            tf.euler_matrix(0.2, 0.5, -0.7, axes="ryxz"),
+            atol=1e-12,
+        )
+
+
+class TestComposeDecompose:
+    def test_roundtrip(self):
+        from pvtrace_tpu.geometry import transformations as tf
+
+        scale = (1.5, 0.7, 2.0)
+        shear = (0.2, -0.1, 0.3)
+        angles = (0.4, -0.3, 0.9)
+        translate = (1.0, -2.0, 0.5)
+        m = tf.compose_matrix(scale, shear, angles, translate)
+        s2, sh2, a2, t2 = tf.decompose_matrix(m)
+        np.testing.assert_allclose(s2, scale, atol=1e-10)
+        np.testing.assert_allclose(sh2, shear, atol=1e-10)
+        np.testing.assert_allclose(a2, angles, atol=1e-10)
+        np.testing.assert_allclose(t2, translate, atol=1e-10)
+
+    def test_rigid_matrix_decomposes_cleanly(self):
+        from pvtrace_tpu.geometry import transformations as tf
+
+        m = tf.rotation_matrix(0.8, (1, 2, 3), point=(0.5, 0, -1))
+        scale, shear, angles, translate = tf.decompose_matrix(m)
+        np.testing.assert_allclose(scale, (1, 1, 1), atol=1e-10)
+        np.testing.assert_allclose(shear, (0, 0, 0), atol=1e-10)
+        np.testing.assert_allclose(
+            tf.compose_matrix(scale, shear, angles, translate), m, atol=1e-10
+        )
+
+    def test_scale_matrix(self):
+        from pvtrace_tpu.geometry import transformations as tf
+
+        m = tf.scale_matrix(2.0, origin=(1.0, 1.0, 1.0))
+        np.testing.assert_allclose(m @ [1, 1, 1, 1], [1, 1, 1, 1])
+        np.testing.assert_allclose(m @ [2, 1, 1, 1], [3, 1, 1, 1])
+
+    def test_singular_raises(self):
+        from pvtrace_tpu.geometry import transformations as tf
+
+        bad = np.diag([1.0, 0.0, 1.0, 1.0])
+        with pytest.raises(ValueError):
+            tf.decompose_matrix(bad)
