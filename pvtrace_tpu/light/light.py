@@ -1,14 +1,49 @@
-"""Light sources: delegate callables for wavelength, position, direction.
+"""Light sources.
 
-Parity: reference ``pvtrace/light/light.py`` — the built-in mask helper
-classes are recognised by the YAML parser and by the engine's vectorised
-bundle emission.
+Role parity with the reference's ``pvtrace/light/light.py``: a source
+is three delegate callables — wavelength(), position(), direction() —
+sampled once per emitted ray. The mask classes below are the built-in
+delegates the YAML schema can express; the scene compiler recognises
+them by type and lowers them to device-side samplers, and the engine's
+host bundle emission vectorises them (engine/emit.py), so custom
+callables still work but take the per-ray path.
+
+Every sampler draws its uniforms in a fixed order; seeded golden tests
+depend on it.
 """
 from typing import Iterator, Sequence
 
 import numpy as np
 
 from pvtrace_tpu.light.ray import Ray
+
+
+class Light(object):
+    """A source assembled from three delegates.
+
+    Undelegated aspects fall back to a monochromatic 555 nm ray leaving
+    the node origin along local +z (reference light/light.py:159-233).
+    """
+
+    def __init__(self, wavelength=None, position=None, direction=None,
+                 name="Light"):
+        self.wavelength = wavelength or default_wavelength
+        self.position = position or default_position
+        self.direction = direction or default_direction
+        self.name = name
+
+    def emit(self, num_rays=None) -> Iterator[Ray]:
+        """Yield `num_rays` rays sampled from the delegates."""
+        for _ in range(num_rays or 0):
+            yield Ray(
+                wavelength=self.wavelength(),
+                position=self.position(),
+                direction=self.direction(),
+                source=self.name,
+            )
+
+
+# -- default delegates -------------------------------------------------
 
 
 def default_wavelength():
@@ -23,71 +58,45 @@ def default_direction():
     return (0.0, 0.0, 1.0)
 
 
+class DefaultWavelength(object):
+    """Monochromatic 555 nm."""
+
+    __call__ = staticmethod(default_wavelength)
+
+
+class DefaultPosition(object):
+    """Every ray starts at the node origin."""
+
+    __call__ = staticmethod(default_position)
+
+
+class DefaultDirection(object):
+    """Every ray leaves along local +z."""
+
+    __call__ = staticmethod(default_direction)
+
+
+# -- position masks ----------------------------------------------------
+
+
 def rectangular_mask(X, Y):
-    """Uniform positions over a rectangle (half-widths X, Y) in the xy-plane."""
+    """Uniform over the centred rectangle with half-widths (X, Y), z=0."""
     return (np.random.uniform(-X, X), np.random.uniform(-Y, Y), 0.0)
 
 
 def circular_mask(radius: float) -> Sequence[float]:
-    """Uniform positions inside a circle of `radius` in the xy-plane."""
-    rads = np.random.uniform(0, 2.0 * np.pi)
-    r = np.sqrt(np.random.uniform()) * radius
-    return (r * np.cos(rads), r * np.sin(rads), 0.0)
+    """Uniform over the centred disc of `radius`, z=0 (sqrt-radius law)."""
+    azimuth = np.random.uniform(0, 2.0 * np.pi)
+    rho = radius * np.sqrt(np.random.uniform())
+    return (rho * np.cos(azimuth), rho * np.sin(azimuth), 0.0)
 
 
 def cube_mask(X, Y, Z):
-    """Uniform positions inside a cube with half-widths (X, Y, Z)."""
-    return (
-        np.random.uniform(-X, X),
-        np.random.uniform(-Y, Y),
-        np.random.uniform(-Z, Z),
-    )
-
-
-class DefaultWavelength(object):
-    """Generates 555 nm rays."""
-
-    def __call__(self):
-        return default_wavelength()
-
-
-class DefaultPosition(object):
-    """Generates rays from the node origin."""
-
-    def __call__(self):
-        return default_position()
-
-
-class DefaultDirection(object):
-    """Generates rays travelling along +z."""
-
-    def __call__(self):
-        return default_direction()
-
-
-class ConstantWavelengthMask(object):
-    """Constant wavelength delegate."""
-
-    def __init__(self, nanometers):
-        self.nanometers = float(nanometers)
-
-    def __call__(self):
-        return self.nanometers
-
-
-class SpectrumWavelengthMask(object):
-    """Wavelengths sampled from a spectral Distribution."""
-
-    def __init__(self, distribution):
-        self.distribution = distribution
-
-    def __call__(self):
-        return self.distribution.sample(np.random.uniform(0, 1))
+    """Uniform over the centred box with half-widths (X, Y, Z)."""
+    return tuple(np.random.uniform(-h, h) for h in (X, Y, Z))
 
 
 class RectangularMask(object):
-    """Uniform positions on a rectangle in the xy-plane."""
-
     def __init__(self, x, y):
         self.x = float(x)
         self.y = float(y)
@@ -97,8 +106,6 @@ class RectangularMask(object):
 
 
 class CircularMask(object):
-    """Uniform positions inside a circle."""
-
     def __init__(self, radius):
         self.radius = radius
 
@@ -107,8 +114,6 @@ class CircularMask(object):
 
 
 class CubeMask(object):
-    """Uniform positions inside a cube."""
-
     def __init__(self, x, y, z):
         self.x = x
         self.y = y
@@ -118,31 +123,22 @@ class CubeMask(object):
         return cube_mask(self.x, self.y, self.z)
 
 
-class Light(object):
-    """Light source driven by three delegate callables.
+# -- wavelength masks --------------------------------------------------
 
-    Without delegates the source emits monochromatic 555 nm rays from the
-    node origin along +z. See reference light/light.py:159-233.
-    """
 
-    def __init__(self, wavelength=None, position=None, direction=None, name="Light"):
-        self.wavelength = wavelength if wavelength is not None else default_wavelength
-        self.position = position if position is not None else default_position
-        self.direction = direction if direction is not None else default_direction
-        self.name = name
+class ConstantWavelengthMask(object):
+    def __init__(self, nanometers):
+        self.nanometers = float(nanometers)
 
-    def emit(self, num_rays=None) -> Iterator[Ray]:
-        """Yield up to `num_rays` rays sampled from the delegates."""
-        if num_rays is None or num_rays == 0:
-            return
-        count = 0
-        while True:
-            count += 1
-            if num_rays is not None and count > num_rays:
-                break
-            yield Ray(
-                wavelength=self.wavelength(),
-                position=self.position(),
-                direction=self.direction(),
-                source=self.name,
-            )
+    def __call__(self):
+        return self.nanometers
+
+
+class SpectrumWavelengthMask(object):
+    """Inverse-CDF sampling of a spectral Distribution."""
+
+    def __init__(self, distribution):
+        self.distribution = distribution
+
+    def __call__(self):
+        return self.distribution.sample(np.random.uniform(0, 1))

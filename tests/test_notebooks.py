@@ -33,3 +33,20 @@ def test_validation_notebook_executes(monkeypatch):
     client.execute()  # raises CellExecutionError on any failing cell
     # The fate-fraction assertions live in the notebook itself; reaching
     # here means every cell ran and the ±4% flux-model checks passed.
+
+
+@pytest.mark.slow
+def test_quick_start_notebook_executes(monkeypatch):
+    monkeypatch.setenv("MPLBACKEND", "Agg")
+    repo = os.path.dirname(EXAMPLES)
+    monkeypatch.setenv(
+        "PYTHONPATH",
+        repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    path = os.path.join(EXAMPLES, "quick_start.ipynb")
+    nb = nbformat.read(path, as_version=4)
+    client = NotebookClient(
+        nb, timeout=600, kernel_name="python3",
+        resources={"metadata": {"path": EXAMPLES}},
+    )
+    client.execute()
