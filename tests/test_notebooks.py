@@ -50,3 +50,21 @@ def test_quick_start_notebook_executes(monkeypatch):
         resources={"metadata": {"path": EXAMPLES}},
     )
     client.execute()
+
+
+@pytest.mark.slow
+def test_lsc_notebook_executes(monkeypatch):
+    monkeypatch.setenv("PVTRACE_TPU_LSC_N", "600")
+    monkeypatch.setenv("MPLBACKEND", "Agg")
+    repo = os.path.dirname(EXAMPLES)
+    monkeypatch.setenv(
+        "PYTHONPATH",
+        repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    path = os.path.join(EXAMPLES, "lsc.ipynb")
+    nb = nbformat.read(path, as_version=4)
+    client = NotebookClient(
+        nb, timeout=900, kernel_name="python3",
+        resources={"metadata": {"path": EXAMPLES}},
+    )
+    client.execute()
