@@ -78,27 +78,23 @@ def _slice_channels(scores, n_comps, wrt):
     )
 
 
-def _absorbing_node(compiled):
-    for i in range(len(compiled.nodes)):
-        if compiled.comp_count[i] > 0:
-            return i
-    raise ValueError("Scene has no absorbing node.")
+def _absorbing_nodes(compiled):
+    nodes = [
+        i for i in range(len(compiled.nodes)) if compiled.comp_count[i] > 0
+    ]
+    if not nodes:
+        raise ValueError("Scene has no absorbing node.")
+    return nodes
 
 
-def absorbed_fraction_fn(compiled):
-    """Returns fn(params, pos, dir, wav) -> per-photon absorbed weight.
-
-    Differentiable w.r.t. params["log_concentration"].
-    """
-    node = _absorbing_node(compiled)
+def _chord_fn(compiled, node):
+    """Returns fn(pos, dir) -> straight-line chord length through `node`
+    (world-frame inputs; rigid transform + analytic interval solve)."""
     R = np.asarray(compiled.world_to_local[node], dtype=np.float32)
     gtype = int(compiled.geom_type[node])
     gp = np.asarray(compiled.geom_params[node], dtype=np.float64)
-    alpha_row = jnp.asarray(compiled.node_alpha[node], dtype=jnp.float32)
-    x0, dx_grid, L = compiled.grid_x0, compiled.grid_dx, compiled.grid_n
 
-    def weight(params, pos, direction, wav):
-        c = jnp.exp(params["log_concentration"])
+    def chord(pos, direction):
         o = pos @ R[:3, :3].T + R[:3, 3]
         d = direction @ R[:3, :3].T
         if gtype == comp.GEOM_BOX:
@@ -155,14 +151,39 @@ def absorbed_fraction_fn(compiled):
             tmax = jnp.minimum(bar_hi, cap_hi)
         else:
             raise NotImplementedError(f"chord for geometry type {gtype}")
-        chord = jnp.clip(tmax - jnp.maximum(tmin, 0.0), 0.0, None)
-        chord = jnp.where(tmax > 0.0, chord, 0.0)
-        # alpha(lambda) lookup on the shared uniform grid
+        inside = jnp.clip(tmax - jnp.maximum(tmin, 0.0), 0.0, None)
+        return jnp.where(tmax > 0.0, inside, 0.0)
+
+    return chord
+
+
+def absorbed_fraction_fn(compiled):
+    """Returns fn(params, pos, dir, wav) -> per-photon absorbed weight.
+
+    First-pass straight-line Beer-Lambert estimator, differentiable
+    w.r.t. params["log_concentration"] (a global scale on every
+    absorbing component): the optical depth sums c * alpha_n(lambda) *
+    chord_n over EVERY absorbing node, assuming unbent rays — exact for
+    index-matched scenes, a smooth surrogate otherwise (use
+    `fate_gradients` for the full multi-bounce estimator).
+    """
+    x0, dx_grid, L = compiled.grid_x0, compiled.grid_dx, compiled.grid_n
+    parts = [
+        (_chord_fn(compiled, node),
+         jnp.asarray(compiled.node_alpha[node], dtype=jnp.float32))
+        for node in _absorbing_nodes(compiled)
+    ]
+
+    def weight(params, pos, direction, wav):
+        c = jnp.exp(params["log_concentration"])
         posf = jnp.clip((wav - x0) / dx_grid, 0.0, L - 1.0)
         i0 = jnp.clip(posf.astype(jnp.int32), 0, L - 2)
         frac = posf - i0
-        alpha = alpha_row[i0] * (1 - frac) + alpha_row[i0 + 1] * frac
-        return 1.0 - jnp.exp(-c * alpha * chord)
+        depth = 0.0
+        for chord, alpha_row in parts:
+            alpha = alpha_row[i0] * (1 - frac) + alpha_row[i0 + 1] * frac
+            depth = depth + alpha * chord(pos, direction)
+        return 1.0 - jnp.exp(-c * depth)
 
     return weight
 

@@ -281,3 +281,42 @@ def test_lsc_gradient_matches_finite_differences():
     lo = make(np.exp(-delta)).gradient(n=N, seed=11, component="dye")
     fd = (hi["optical_efficiency"] - lo["optical_efficiency"]) / (2 * delta)
     assert abs(base["gradient"] - fd) < 0.02, (base["gradient"], fd)
+
+
+def test_absorbed_fraction_sums_over_absorbing_nodes():
+    """Two index-matched slabs in series: the first-pass estimator's
+    optical depth is the sum of both Beer-Lambert contributions."""
+    import jax.numpy as jnp
+
+    from pvtrace_tpu.diff.transport import absorbed_fraction_fn
+    from pvtrace_tpu.engine.compiler import compile_scene
+
+    world = Node(
+        name="world",
+        geometry=Sphere(radius=10.0, material=Material(refractive_index=1.0)),
+    )
+    for name, z, alpha in (("a", -1.0, 0.6), ("b", 1.0, 0.9)):
+        slab = Node(
+            name=name,
+            parent=world,
+            geometry=Box(
+                (2.0, 2.0, 1.0),
+                material=Material(
+                    refractive_index=1.0,
+                    surface=Surface(delegate=NullSurfaceDelegate()),
+                    components=[Absorber(alpha)],
+                ),
+            ),
+        )
+        slab.translate((0.0, 0.0, z))
+    Node(name="light", parent=world, light=Light())
+    compiled = compile_scene(Scene(world))
+
+    weight = absorbed_fraction_fn(compiled)
+    params = {"log_concentration": jnp.asarray(0.0)}
+    pos = jnp.asarray([[0.0, 0.0, -5.0]], jnp.float32)
+    dirs = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    wav = jnp.asarray([555.0], jnp.float32)
+    got = float(weight(params, pos, dirs, wav)[0])
+    expect = 1.0 - np.exp(-(0.6 * 1.0 + 0.9 * 1.0))
+    assert abs(got - expect) < 2e-4, (got, expect)

@@ -17,7 +17,7 @@ EXAMPLES = os.path.join(
 
 @pytest.mark.slow
 def test_validation_notebook_executes(monkeypatch):
-    monkeypatch.setenv("PVTRACE_TPU_VALIDATE_N", "4000")
+    monkeypatch.setenv("PVTRACE_TPU_VALIDATE_N", "2500")
     monkeypatch.setenv("MPLBACKEND", "Agg")
     repo = os.path.dirname(EXAMPLES)
     monkeypatch.setenv(
@@ -27,7 +27,7 @@ def test_validation_notebook_executes(monkeypatch):
     path = os.path.join(EXAMPLES, "validation.ipynb")
     nb = nbformat.read(path, as_version=4)
     client = NotebookClient(
-        nb, timeout=600, kernel_name="python3",
+        nb, timeout=1500, kernel_name="python3",
         resources={"metadata": {"path": EXAMPLES}},
     )
     client.execute()  # raises CellExecutionError on any failing cell
@@ -46,7 +46,7 @@ def test_quick_start_notebook_executes(monkeypatch):
     path = os.path.join(EXAMPLES, "quick_start.ipynb")
     nb = nbformat.read(path, as_version=4)
     client = NotebookClient(
-        nb, timeout=600, kernel_name="python3",
+        nb, timeout=1500, kernel_name="python3",
         resources={"metadata": {"path": EXAMPLES}},
     )
     client.execute()
@@ -64,7 +64,7 @@ def test_lsc_notebook_executes(monkeypatch):
     path = os.path.join(EXAMPLES, "lsc.ipynb")
     nb = nbformat.read(path, as_version=4)
     client = NotebookClient(
-        nb, timeout=900, kernel_name="python3",
+        nb, timeout=1500, kernel_name="python3",
         resources={"metadata": {"path": EXAMPLES}},
     )
     client.execute()
