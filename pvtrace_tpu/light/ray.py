@@ -44,10 +44,10 @@ class Ray:
     source: Optional[str] = None
 
     def __repr__(self):
-        position = "(" + ", ".join("{:.2f}".format(x) for x in self.position) + ")"
-        direction = "(" + ", ".join("{:.2f}".format(x) for x in self.direction) + ")"
-        wavelength = "{:.2f}".format(self.wavelength)
-        return "Ray(pos={}, dir={}, nm={})".format(position, direction, wavelength)
+        fmt = lambda v: "({})".format(", ".join("%.2f" % x for x in v))
+        return "Ray(pos=%s, dir=%s, nm=%.2f)" % (
+            fmt(self.position), fmt(self.direction), self.wavelength,
+        )
 
     def propagate(self, distance: float, refractive_index: float) -> "Ray":
         """Move the ray `distance` along its direction.
@@ -55,15 +55,13 @@ class Ray:
         Time of flight accumulates as distance * n / c, matching the
         reference (light/ray.py:52-75).
         """
-        new_position = tuple(
-            (np.asarray(self.position) + np.asarray(self.direction) * distance).tolist()
-        )
+        moved = np.asarray(self.position) + distance * np.asarray(self.direction)
+        flight_time = distance * refractive_index / speed_of_light_cm_per_s
         return replace(
             self,
-            position=new_position,
+            position=tuple(moved.tolist()),
             travelled=self.travelled + distance,
-            duration=self.duration
-            + distance * refractive_index / speed_of_light_cm_per_s,
+            duration=self.duration + flight_time,
         )
 
     def representation(self, from_node, to_node) -> "Ray":

@@ -4,6 +4,14 @@ Parity: reference ``pvtrace/material/component.py`` — class hierarchy
 Component -> Scatterer -> (Absorber -> Reactor, Luminophore), quantum
 yield from `quantum_yield` or (tau_rad, tau_nr), emission sampling with
 kT / redshift / full truncation, exponential lifetime delays.
+
+The class/argument surface matches the reference for API compatibility;
+the internals are organised around three module-level helpers
+(`build_spectrum`, `resolve_quantum_yield`, `exponential_delay`) that the
+scene compiler also reaches into when lowering components to device
+tables.  Random draw order inside each method is a compatibility
+contract pinned by the golden-history tests: phase function first, then
+wavelength, then lifetime delay.
 """
 from dataclasses import replace
 from typing import Callable, Optional, Union
@@ -14,8 +22,58 @@ from pvtrace_tpu.light.ray import Ray
 from pvtrace_tpu.material.distribution import Distribution
 from pvtrace_tpu.material.utils import gaussian, isotropic
 
-q = 1.60217662e-19  # C
-kB = 1.380649e-23 / q  # eV K-1
+#: Boltzmann constant in eV/K (CODATA k_B divided by the elementary charge).
+KB_EV = 1.380649e-23 / 1.60217662e-19
+
+#: hc/e in nm·eV — converts between photon wavelength and energy.
+EV_NM = 1240.0
+
+
+def build_spectrum(values, x=None, hist=False) -> Distribution:
+    """Coerce any of the accepted spectrum forms into a Distribution.
+
+    Accepted forms (shared by attenuation and emission spectra):
+
+    * a scalar — constant over all wavelengths;
+    * an ``(N, 2)`` array of ``(wavelength, value)`` rows;
+    * a list/tuple of callables summed over the grid `x`.
+    """
+    if values is None:
+        raise ValueError("Coefficient must be specified.")
+    if isinstance(values, (float, int)):
+        return Distribution(x=None, y=float(values), hist=hist)
+    if isinstance(values, np.ndarray):
+        return Distribution(x=values[:, 0], y=values[:, 1], hist=hist)
+    if isinstance(values, (list, tuple)):
+        if x is None:
+            raise ValueError("Requires `x`.")
+        return Distribution.from_functions(x, values, hist=hist)
+    raise ValueError("Unsupported coefficient type.")
+
+
+def resolve_quantum_yield(quantum_yield, tau_rad, tau_nr) -> float:
+    """Quantum yield from lifetimes when both are given, else the explicit value.
+
+    With both lifetimes the radiative branching ratio is
+    ``(1/tau_rad) / (1/tau_rad + 1/tau_nr) = tau_nr / (tau_nr + tau_rad)``.
+    """
+    if tau_rad is not None and tau_nr is not None:
+        qy = tau_nr / (tau_nr + tau_rad)
+    elif quantum_yield is not None:
+        qy = quantum_yield
+    else:
+        qy = np.nan
+    if not np.isfinite(qy):
+        raise ValueError(
+            "Specify either `quantum yield` or both `tau_rad` and `tau_nr`"
+        )
+    return float(qy)
+
+
+def exponential_delay(tau: float) -> float:
+    """One draw from the single-exponential lifetime distribution (consumes
+    exactly one uniform — part of the draw-order contract)."""
+    return -np.log(1 - np.random.uniform()) * tau
 
 
 class Component(object):
@@ -46,64 +104,37 @@ class Scatterer(Component):
         hist: bool = False,
         name: str = "Scatterer",
     ):
-        """Parameters mirror the reference (component.py:52-139): a
-        constant or spectral `coefficient`, quantum yield either directly
-        or computed as tau_nr / (tau_nr + tau_rad), and an optional phase
-        function (isotropic by default)."""
+        """The argument surface mirrors the reference (component.py:52-139):
+        a constant or spectral `coefficient` (see `build_spectrum`), quantum
+        yield either explicit or derived from the lifetime pair, and an
+        optional phase function (isotropic when omitted)."""
         super(Scatterer, self).__init__(name=name)
-
         self._coefficient = coefficient
-        if coefficient is None:
-            raise ValueError("Coefficient must be specified.")
-        elif isinstance(coefficient, (float, int)):
-            self._abs_dist = Distribution(x=None, y=float(coefficient), hist=hist)
-        elif isinstance(coefficient, np.ndarray):
-            self._abs_dist = Distribution(
-                x=coefficient[:, 0], y=coefficient[:, 1], hist=hist
-            )
-        elif isinstance(coefficient, (list, tuple)):
-            if x is None:
-                raise ValueError("Requires `x`.")
-            self._abs_dist = Distribution.from_functions(x, coefficient, hist=hist)
-        else:
-            raise ValueError("Unsupported coefficient type.")
-
-        qy = np.nan
-        if tau_rad is not None and tau_nr is not None:
-            qy = tau_nr / (tau_nr + tau_rad)
-        elif quantum_yield is not None:
-            qy = quantum_yield
-        if not np.isfinite(qy):
-            raise ValueError(
-                "Specify either `quantum yield` or both `tau_rad` and `tau_nr`"
-            )
-
-        self.quantum_yield = qy
+        self._abs_dist = build_spectrum(coefficient, x=x, hist=hist)
+        self.quantum_yield = resolve_quantum_yield(quantum_yield, tau_rad, tau_nr)
         self.tau_rad = tau_rad
         self.tau_nr = tau_nr
-        self.phase_function = (
-            phase_function if phase_function is not None else isotropic
-        )
+        self.phase_function = phase_function or isotropic
 
     def coefficient(self, wavelength):
         """Scattering coefficient at `wavelength`."""
         return self._abs_dist(wavelength)
 
     def is_radiative(self, ray):
-        """Monte Carlo test: is this event radiative?"""
+        """Monte Carlo branch: radiative with probability `quantum_yield`."""
         return np.random.uniform() < self.quantum_yield
 
     def nonradiative_absorb(self, ray: Ray) -> Ray:
         """Apply a non-radiative lifetime delay when tau_nr is set."""
-        if self.tau_nr:
-            delay = -np.log(1 - np.random.uniform()) * self.tau_nr
-            return replace(ray, duration=ray.duration + delay)
-        return ray
+        if not self.tau_nr:
+            return ray
+        return replace(ray, duration=ray.duration + exponential_delay(self.tau_nr))
 
     def emit(self, ray: Ray, **kwargs) -> Ray:
         """Redirect the ray using the phase function."""
-        direction = self.phase_function()
-        return replace(ray, direction=tuple(direction), source=self.name)
+        return replace(
+            ray, direction=tuple(self.phase_function()), source=self.name
+        )
 
 
 class Absorber(Scatterer):
@@ -132,6 +163,13 @@ class Reactor(Absorber):
         super(Reactor, self).__init__(coefficient, x=x, hist=hist, name=name)
 
 
+def _default_emission_grid(x, hist):
+    """Fallback emission spectrum: unit Gaussian centred at 600 nm."""
+    return Distribution.from_functions(
+        x, [lambda w: gaussian(w, 1.0, 600.0, 40.0)], hist=hist
+    )
+
+
 class Luminophore(Scatterer):
     """Absorbs and re-emits light with a sampled emission spectrum."""
 
@@ -157,54 +195,53 @@ class Luminophore(Scatterer):
             hist=hist,
             name=name,
         )
-
         self._emission = emission
         if emission is None:
-            self._ems_dist = Distribution.from_functions(
-                x, [lambda w: gaussian(w, 1.0, 600.0, 40.0)], hist=hist
-            )
-        elif isinstance(emission, np.ndarray):
-            self._ems_dist = Distribution(
-                x=emission[:, 0], y=emission[:, 1], hist=hist
-            )
-        elif isinstance(emission, (tuple, list)):
-            if x is None:
-                raise ValueError("Requires `x`.")
-            self._ems_dist = Distribution.from_functions(x, emission, hist=hist)
+            self._ems_dist = _default_emission_grid(x, hist)
         else:
-            raise ValueError("Luminophore `emission` arg has wrong type.")
+            try:
+                self._ems_dist = build_spectrum(emission, x=x, hist=hist)
+            except ValueError as err:
+                if "Requires `x`" in str(err):
+                    raise
+                raise ValueError("Luminophore `emission` arg has wrong type.")
+
+    def _emission_cdf_floor(self, wavelength_nm, method, T):
+        """Lower CDF bound for emission sampling.
+
+        ``'full'`` samples the whole spectrum; ``'redshift'`` forbids any
+        energy gain (floor at the absorbed wavelength); ``'kT'`` lets the
+        emitted photon gain up to 3/2·kB·T of thermal energy (Boltzmann,
+        three degrees of freedom) before truncating — reference
+        component.py:381-440.  Out-of-grid wavelengths are clamped to the
+        spectrum support rather than erroring (robustness improvement
+        over the reference, which raises).
+        """
+        if method == "full":
+            return 0.0
+        if method == "kT":
+            thermal_ev = EV_NM / wavelength_nm + 1.5 * KB_EV * T
+            wavelength_nm = EV_NM / thermal_ev
+        elif method != "redshift":
+            raise ValueError("emit_method must be one of 'kT', 'redshift', 'full'")
+        dist = self._ems_dist
+        return dist.lookup(np.clip(wavelength_nm, *dist._x_range))
 
     def emit(self, ray: Ray, method="kT", T=300.0, **kwargs) -> Ray:
-        """Sample a new direction and wavelength for the emitted ray.
+        """Sample a new direction, wavelength and delay for the emitted ray.
 
-        `method` is 'kT' (emitted energy may rise by 3/2 kT), 'redshift'
-        (energy can only fall) or 'full' (sample whole spectrum) —
-        reference component.py:381-440.
+        Draw order (pinned by golden tests): phase function, then the
+        truncated inverse-CDF wavelength draw, then the radiative
+        lifetime delay.
         """
-        direction = self.phase_function()
-        dist = self._ems_dist
-        nm = ray.wavelength
-        if method == "kT":
-            eV = 1240.0 / nm + 3 / 2 * kB * T
-            nm = 1240.0 / eV
-            p1 = dist.lookup(np.clip(nm, *dist._x_range))
-        elif method == "redshift":
-            p1 = dist.lookup(np.clip(nm, *dist._x_range))
-        elif method == "full":
-            p1 = 0.0
-        else:
-            raise ValueError("emit_method must be one of 'kT', 'redshift', 'full'")
-        gamma = np.random.uniform(p1, 1.0)
-        wavelength = dist.sample(gamma)
-
-        emission_delay = 0.0
-        if self.tau_rad:
-            emission_delay = -np.log(1 - np.random.uniform()) * self.tau_rad
-
+        new_direction = tuple(self.phase_function())
+        floor = self._emission_cdf_floor(ray.wavelength, method, T)
+        new_wavelength = self._ems_dist.sample(np.random.uniform(floor, 1.0))
+        delay = exponential_delay(self.tau_rad) if self.tau_rad else 0.0
         return replace(
             ray,
-            direction=tuple(direction),
-            wavelength=wavelength,
+            direction=new_direction,
+            wavelength=new_wavelength,
             source=self.name,
-            duration=ray.duration + emission_delay,
+            duration=ray.duration + delay,
         )

@@ -20,40 +20,33 @@ from pvtrace_tpu.geometry.utils import intersection_point_is_ahead
 from pvtrace_tpu.scene.node import Node
 
 
+# Events that always mark an "end ray" regardless of which node was hit.
+_ALWAYS_END = frozenset(
+    {Event.GENERATE, Event.NONRADIATIVE, Event.REACT, Event.KILL, Event.EXIT}
+)
+
+
 def do_simulation(scene, num_rays, seed):
     """Worker function for multiprocessing."""
     from pvtrace_tpu.algorithm import photon_tracer
 
     if seed is not None:
         np.random.seed(seed)
-    results = []
-    for ray in scene.emit(num_rays):
-        results.append(photon_tracer.follow(scene, ray))
-    return results
+    return [photon_tracer.follow(scene, ray) for ray in scene.emit(num_rays)]
 
 
 def is_end_ray(event, metadata):
     """Classify whether an event is an "end ray": generation, terminal
-    events, and surface crossings of a node boundary."""
-    ignored = {Event.EMIT, Event.SCATTER, Event.ABSORB}
-    if event in ignored:
-        return False
-    if event in (
-        Event.GENERATE,
-        Event.NONRADIATIVE,
-        Event.REACT,
-        Event.KILL,
-        Event.EXIT,
-    ):
+    events, and surface interactions at a node's own boundary (reflected
+    off it, transmitted into it, or escaped out of it)."""
+    if event in _ALWAYS_END:
         return True
-    if event in (Event.REFLECT, Event.TRANSMIT):
-        if metadata["hit"] == metadata["adjacent"] and event == Event.REFLECT:
-            return True  # reflected from node
-        if metadata["hit"] == metadata["adjacent"] and event == Event.TRANSMIT:
-            return True  # transmitted into node
-        if metadata["hit"] == metadata["container"] and event == Event.TRANSMIT:
-            return True  # escaped node
-    return False
+    hit = metadata.get("hit") if metadata else None
+    if event is Event.REFLECT:
+        return hit == metadata["adjacent"]
+    if event is Event.TRANSMIT:
+        return hit in (metadata["adjacent"], metadata["container"])
+    return False  # volume events (ABSORB / EMIT / SCATTER) are interior
 
 
 def do_simulation_add_to_queue(scene, num_rays, seed, queue, end_rays):
@@ -64,13 +57,10 @@ def do_simulation_add_to_queue(scene, num_rays, seed, queue, end_rays):
         np.random.seed(seed)
     pid = os.getpid()
     for idx, ray in enumerate(scene.emit(num_rays)):
-        for info in photon_tracer.step_forward(scene, ray):
-            ray, event, metadata = info
-            if end_rays:
-                if is_end_ray(event, metadata):
-                    queue.put((pid, idx, ray, event, metadata))
-            else:
-                queue.put((pid, idx, ray, event, metadata))
+        for stepped, event, metadata in photon_tracer.step_forward(scene, ray):
+            if end_rays and not is_end_ray(event, metadata):
+                continue
+            queue.put((pid, idx, stepped, event, metadata))
     return pid
 
 
