@@ -264,9 +264,10 @@ def _get_tracer(compiled, cfg, lanes=None):
 
         def pack(tallies, log, counts, steps):
             # Device->host transfers have high fixed latency on remote
-            # TPU links: pack every small output into two flat arrays so
-            # the host does exactly two fetches (plus the event log in
-            # validation runs).
+            # TPU links (~30-60 ms per fetch over the tunnel): pack every
+            # small output into ONE flat int32 array (floats bitcast in)
+            # so the host does exactly one fetch, plus the event log only
+            # in validation runs.
             ints = jnp.concatenate(
                 [
                     tallies["distinct"],
@@ -286,7 +287,14 @@ def _get_tracer(compiled, cfg, lanes=None):
                     floats = jnp.concatenate(
                         [floats, jnp.ravel(tallies["rec_scores"])]
                     )
-            return ints, floats, log
+            if floats.dtype == jnp.float32:
+                # Single-fetch path: bitcast the float block into the
+                # int array; simulate() views it back.
+                packed = jnp.concatenate(
+                    [ints, jax.lax.bitcast_convert_type(floats, jnp.int32)]
+                )
+                return packed, None, (log if cfg.n_slots > 0 else None)
+            return ints, floats, (log if cfg.n_slots > 0 else None)
 
         if compiled.lights_supported:
 
@@ -435,10 +443,18 @@ def simulate(
         jax.block_until_ready(ints_dev)
         elapsed = time.perf_counter() - tic
 
-    ints = np.asarray(ints_dev)
-    floats = np.asarray(floats_dev)
     R = max(compiled.n_recorders, 1)
     S = max(cfg.n_slots, 1)
+    n_int = R + R + (cfg.total_bins + 1) + 11 + S + 1
+    if floats_dev is None:
+        # Single-fetch path: the float block rides bitcast inside the
+        # int array (see pack() in _get_tracer).
+        packed = np.asarray(ints_dev)
+        ints = packed[:n_int]
+        floats = packed[n_int:].view(np.float32)
+    else:
+        ints = np.asarray(ints_dev)
+        floats = np.asarray(floats_dev)
     parts = np.split(
         ints,
         np.cumsum([R, R, cfg.total_bins + 1, 11, S]),
@@ -464,9 +480,15 @@ def simulate(
             )
     # Unpack the two packed log arrays into the per-field view the
     # result API exposes (see tracer._LOG_INTS / _LOG_VECS layout).
+    # Production runs (record_every=0) never touch the device log —
+    # each fetch is a full tunnel round trip.
     rows = cfg.n_slots if cfg.n_slots > 0 else 0
-    log_ints = np.asarray(log["ints"])[:rows]
-    log_floats = np.asarray(log["floats"])[:rows]
+    if log is None or rows == 0:
+        log_ints = np.full((0, max_events, 6), -1, dtype=np.int32)
+        log_floats = np.zeros((0, max_events, 12), dtype=dtype)
+    else:
+        log_ints = np.asarray(log["ints"])[:rows]
+        log_floats = np.asarray(log["floats"])[:rows]
     for i, name in enumerate(
         ("kind", "hit", "container", "adjacent", "component", "source")
     ):
