@@ -23,7 +23,51 @@ from pvtrace_tpu.engine import compiler as comp
 from pvtrace_tpu.light.event import Event
 
 
-def fate_gradients(scene, num_rays, seed=None, wrt="components", **kwargs):
+def resolve_pathwise_params(compiled, params):
+    """Map user parameter specs to tracer channel specs.
+
+    Accepted spec forms (node by name or preorder index):
+
+    - ``("n", node)`` — refractive index (full hybrid estimator:
+      Fresnel-coin likelihood including the Snell/incidence tangent
+      term, plus free-flight boundary movement);
+    - ``("size", node, axis)`` — box edge length along ``axis``;
+    - ``("radius", node)`` — sphere or cylinder radius;
+    - ``("length", node)`` — cylinder length.
+    """
+    resolved = []
+    for spec in params:
+        kind = spec[0]
+        node = spec[1]
+        if not isinstance(node, int):
+            node = compiled.node_names.index(node)
+        gtype = int(compiled.geom_type[node])
+        if kind == "n":
+            resolved.append(("n", node))
+        elif kind == "size":
+            if gtype != comp.GEOM_BOX:
+                raise ValueError(f"'size' needs a Box node, got type {gtype}")
+            resolved.append(("geom", node, int(spec[2])))
+        elif kind == "radius":
+            if gtype == comp.GEOM_SPHERE:
+                resolved.append(("geom", node, 0))
+            elif gtype == comp.GEOM_CYLINDER:
+                resolved.append(("geom", node, 1))
+            else:
+                raise ValueError(
+                    f"'radius' needs a Sphere or Cylinder node, got {gtype}"
+                )
+        elif kind == "length":
+            if gtype != comp.GEOM_CYLINDER:
+                raise ValueError(f"'length' needs a Cylinder node, got {gtype}")
+            resolved.append(("geom", node, 0))
+        else:
+            raise ValueError(f"Unknown pathwise parameter kind {kind!r}")
+    return tuple(resolved)
+
+
+def fate_gradients(scene, num_rays, seed=None, wrt="components",
+                   pathwise=None, **kwargs):
     """Full multi-bounce gradients of fate fractions from ONE run.
 
     Score-function (likelihood-ratio) estimator, accumulated on device
@@ -46,17 +90,35 @@ def fate_gradients(scene, num_rays, seed=None, wrt="components", **kwargs):
       directions is NOT differentiated, so this is the full derivative
       at normal incidence and the probability-path partial otherwise.
     - ``"all"``: [n_components + n_nodes], both blocks concatenated.
+    - ``"pathwise"``: [len(pathwise)] — hybrid pathwise channels for the
+      parameters given via ``pathwise=[...]`` (see
+      `resolve_pathwise_params` for the spec forms). Unlike
+      ``"refractive_index"``, an ``("n", node)`` pathwise channel is the
+      COMPLETE derivative at any incidence: the Fresnel coin term uses
+      the full dR (Snell/incidence movement included) and boundary
+      motion enters through free-flight survival likelihoods, with
+      direction/position tangents propagated photon-by-photon through
+      every deterministic reflection and refraction.
 
     kwargs pass through to ``engine.simulate`` (lanes, dtype, ...).
     """
     from pvtrace_tpu.engine.api import simulate
+    from pvtrace_tpu.engine.compiler import compile_scene
 
+    compiled = kwargs.pop("compiled", None)
+    if compiled is None:
+        compiled = compile_scene(scene)
+    pw = (
+        resolve_pathwise_params(compiled, pathwise) if pathwise else ()
+    )
     result = simulate(
-        scene, num_rays, seed=seed, record_every=0, score=True, **kwargs
+        scene, num_rays, seed=seed, record_every=0, score=True,
+        pathwise=pw, compiled=compiled, **kwargs
     )
     scores = np.asarray(result.data["fate_scores"], dtype=np.float64)
     n_comps = int(result.compiled.n_components)
-    scores = _slice_channels(scores, n_comps, wrt)
+    n_nodes = len(result.compiled.nodes)
+    scores = _slice_channels(scores, n_comps, wrt, n_nodes=n_nodes)
     fates = np.asarray(result.data["fates"], dtype=np.float64)
     fractions, gradients = {}, {}
     for event in (Event.EXIT, Event.NONRADIATIVE, Event.REACT, Event.KILL):
@@ -65,16 +127,24 @@ def fate_gradients(scene, num_rays, seed=None, wrt="components", **kwargs):
     return fractions, gradients
 
 
-def _slice_channels(scores, n_comps, wrt):
-    """Select score channels: components block, node-n block, or both."""
+def _slice_channels(scores, n_comps, wrt, n_nodes=None):
+    """Select score channels: components block, node-n block, pathwise
+    block, or everything."""
     if wrt == "components":
         return scores[..., :n_comps]
     if wrt == "refractive_index":
-        return scores[..., n_comps:]
+        if n_nodes is None:
+            return scores[..., n_comps:]
+        return scores[..., n_comps:n_comps + n_nodes]
+    if wrt == "pathwise":
+        if n_nodes is None:
+            raise ValueError("wrt='pathwise' requires channel counts")
+        return scores[..., n_comps + n_nodes:]
     if wrt == "all":
         return scores
     raise ValueError(
-        f"wrt must be 'components', 'refractive_index' or 'all'; got {wrt!r}"
+        "wrt must be 'components', 'refractive_index', 'pathwise' or "
+        f"'all'; got {wrt!r}"
     )
 
 

@@ -344,6 +344,7 @@ def simulate(
     compiled=None,
     lanes="auto",
     score=False,
+    pathwise=(),
     index_offset=0,
 ):
     """Trace `num_rays` through `scene` with the device engine.
@@ -403,6 +404,7 @@ def simulate(
         record_every=record_every,
         emit_method=emit_method,
         score=score,
+        pathwise=pathwise,
     )
     if lanes == "auto":
         # 2^19 lanes measured fastest on v5e across 4M-32M photon
@@ -473,7 +475,7 @@ def simulate(
     if score:
         # Channel layout: [0, n_comps) component log-scale scores,
         # [n_comps, n_comps + n_nodes) refractive-index scores.
-        CH = cfg.n_comps + cfg.n_nodes
+        CH = cfg.n_comps + cfg.n_nodes + len(cfg.pathwise)
         data["fate_scores"] = floats[R * 8: R * 8 + 11 * CH].reshape(11, CH)
         if cfg.n_recorders > 0:
             data["rec_scores"] = floats[R * 8 + 11 * CH:].reshape(

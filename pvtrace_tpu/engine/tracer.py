@@ -231,11 +231,17 @@ class TraceConfig(NamedTuple):
     score: bool = False
     n_comps: int = 0
     maxpathlength: float = _INF
+    # Pathwise score channels: ("n", node) differentiates w.r.t. a
+    # node's refractive index (full hybrid estimator: Fresnel-coin
+    # likelihood WITH the Snell/incidence tangent term, plus free-flight
+    # survival); ("geom", node, param_index) w.r.t. a geometry parameter
+    # (box size / sphere radius / cylinder length-radius).
+    pathwise: tuple = ()
 
 
 def make_config(compiled, n_rays, dtype=np.float32, maxsteps=1000,
                 max_events=128, record_every=1, emit_method="kT",
-                score=False, maxpathlength=None):
+                score=False, maxpathlength=None, pathwise=()):
     if record_every > 0:
         n_slots = (n_rays + record_every - 1) // record_every
     else:
@@ -265,6 +271,7 @@ def make_config(compiled, n_rays, dtype=np.float32, maxsteps=1000,
         maxpathlength=(
             _INF if maxpathlength is None else float(maxpathlength)
         ),
+        pathwise=tuple(tuple(p) for p in pathwise),
     )
 
 
@@ -538,9 +545,11 @@ def _empty_tallies(cfg, B):
         # Score-function (likelihood-ratio) accumulators. Channel
         # layout: [0, n_comps) are d log p(path) / d log(scale_c) per
         # component; [n_comps, n_comps + n_nodes) are d log p(path) /
-        # d n_k per node refractive index (Fresnel coin probabilities).
+        # d n_k per node refractive index (Fresnel coin probabilities
+        # only); [n_comps + n_nodes, ...) are the requested pathwise
+        # hybrid channels (cfg.pathwise), one per parameter.
         # d(fate fraction)/d theta is fate_scores[fate, ch] / num_rays.
-        ch = cfg.n_comps + cfg.n_nodes
+        ch = cfg.n_comps + cfg.n_nodes + len(cfg.pathwise)
         out["fate_scores"] = jnp.zeros((N_FATES, ch), dtype=cfg.dtype)
         if cfg.n_recorders > 0:
             # Same estimator per recorder: the path score at a photon's
@@ -914,7 +923,13 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         "tallies": _empty_tallies(cfg, B),
     }
     if cfg.score:
-        state["score"] = jnp.zeros((cfg.n_comps + cfg.n_nodes, B), f)
+        state["score"] = jnp.zeros(
+            (cfg.n_comps + cfg.n_nodes + len(cfg.pathwise), B), f
+        )
+        if cfg.pathwise:
+            # Per-channel pathwise tangents of the continuous photon
+            # coordinates: [C_pw, 7, B] = d(px,py,pz,dx,dy,dz,wav)/d theta.
+            state["tang"] = jnp.zeros((len(cfg.pathwise), 7, B), f)
     if regen is not None:
         regen_base_key, regen_total = regen
         state["pid"] = photon_ids
@@ -946,9 +961,19 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
 
     def physics_core(u, px, py, pz, dxv, dyv, dzv, wav, trav, dur,
                      source, alive, count, spec_slots_fn, icdf_fn,
-                     want_extras=False):
+                     want_extras=False, nidx=None, gp=None):
         # Shape tuple, not a width: the core is shape-agnostic and
         # runs on [B] wavefronts of any rank.
+        #
+        # `nidx` / `gp` optionally replace the baked refractive indices
+        # and geometry parameters with traced values — the pathwise
+        # gradient path linearizes the whole step w.r.t. them (see the
+        # score block in `body`); every other caller leaves them None
+        # and gets the compile-time constants.
+        if nidx is None:
+            nidx = NIDX
+        if gp is None:
+            gp = [GP[n].astype(f) for n in range(N)]
         Bl = px.shape
         inf = jnp.full(Bl, _INF, f)
         t1 = inf
@@ -987,7 +1012,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                     n1 = jnp.where(isfirst, n, n1)
             else:
                 cands = _intersect_node_static(
-                    node_static[n][0], GP[n].astype(f), (lox, loy, loz),
+                    node_static[n][0], gp[n], (lox, loy, loz),
                     (ldx, ldy, ldz), eps[n],
                 )
                 cnt_n = jnp.zeros(Bl, jnp.int32)
@@ -1025,7 +1050,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             kill_max = kill_max | (alive & (trav > cfg.maxpathlength))
         alive = alive & ~kill_max
 
-        n_cont = _select(container, NIDX, jnp.full(Bl, 1.0, f))
+        n_cont = _select(container, nidx, jnp.full(Bl, 1.0, f))
         exit_mask = alive & (hit == cfg.root_id)
 
         if has_spectra:
@@ -1205,7 +1230,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                 lpy = loy + t0 * ldy
                 lpz = loz + t0 * ldz
                 nx_n, ny_n, nz_n = _local_normal_static(
-                    node_static[n][0], GP[n].astype(f), (lpx, lpy, lpz)
+                    node_static[n][0], gp[n], (lpx, lpy, lpz)
                 )
             Rw = L2W[n]
             wx = Rw[0, 0] * nx_n + Rw[0, 1] * ny_n + Rw[0, 2] * nz_n
@@ -1241,7 +1266,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         naz = wnz * flip
 
         n1r = n_cont
-        n2r = _select(adjacent, NIDX, jnp.full(Bl, 1.0, f))
+        n2r = _select(adjacent, nidx, jnp.full(Bl, 1.0, f))
         is_fresnel = _member(hit, fresnel_nodes)
 
         s2 = jnp.clip(1.0 - c_in * c_in, 0.0, 1.0)
@@ -1359,7 +1384,7 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                 emitting=emitting, scattering=scattering,
                 kill_max=kill_max, adj_bad=adj_bad,
                 reflecting=reflecting, transmitting=transmitting,
-                moving=moving, advance=advance, alpha=alpha,
+                moving=moving, advance=advance, alpha=alpha, t0=t0,
                 dur_adv=dur_adv, source_pre=source_pre,
                 slot_vals=slot_vals,
                 n1r=n1r, n2r=n2r, refl_r=r, fres_coin=fres_coin,
@@ -1607,13 +1632,45 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             budget_kill = jnp.zeros(B, dtype=bool)
             alive1 = alive0
 
-        r = physics_core(
-            u, state["px"], state["py"], state["pz"],
-            state["dx"], state["dy"], state["dz"],
-            state["wav"], state["trav"], state["dur"],
-            state["source"], alive1, count,
-            spec_slots_fn, icdf_fn, want_extras=True,
-        )
+        if cfg.pathwise:
+            # Pathwise-hybrid gradient mode: linearize the WHOLE physics
+            # step w.r.t. the requested parameters and the continuous
+            # photon coordinates. One linearization gives the primal
+            # step plus a linear map applied once per channel below.
+            pw_specs = cfg.pathwise
+
+            def core_t(theta, cpx, cpy, cpz, cdx, cdy, cdz, cwav):
+                nidx_l = list(NIDX)
+                gp_l = [GP[n].astype(f) for n in range(N)]
+                for ci, spec in enumerate(pw_specs):
+                    if spec[0] == "n":
+                        k = int(spec[1])
+                        nidx_l[k] = nidx_l[k] + theta[ci]
+                    else:
+                        k, pidx = int(spec[1]), int(spec[2])
+                        row = [gp_l[k][j] for j in range(gp_l[k].shape[0])]
+                        row[pidx] = row[pidx] + theta[ci]
+                        gp_l[k] = row
+                return physics_core(
+                    u, cpx, cpy, cpz, cdx, cdy, cdz, cwav,
+                    state["trav"], state["dur"], state["source"], alive1,
+                    count, spec_slots_fn, icdf_fn, want_extras=True,
+                    nidx=nidx_l, gp=gp_l,
+                )
+
+            theta0 = jnp.zeros((len(pw_specs),), f)
+            r, step_lin = jax.linearize(
+                core_t, theta0, state["px"], state["py"], state["pz"],
+                state["dx"], state["dy"], state["dz"], state["wav"],
+            )
+        else:
+            r = physics_core(
+                u, state["px"], state["py"], state["pz"],
+                state["dx"], state["dy"], state["dz"],
+                state["wav"], state["trav"], state["dur"],
+                state["source"], alive1, count,
+                spec_slots_fn, icdf_fn, want_extras=True,
+            )
         pos3 = jnp.stack([r["px"], r["py"], r["pz"]], axis=-1)
         dir3 = jnp.stack([r["dx"], r["dy"], r["dz"]], axis=-1)
         wn3 = jnp.stack([r["wnx"], r["wny"], r["wnz"]], axis=-1)
@@ -1747,6 +1804,72 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
                 ck = jnp.where(r["container"] == k, w1, 0.0)
                 ck = ck + jnp.where(r["adjacent"] == k, w2, 0.0)
                 contribs.append(ck)
+            if cfg.pathwise:
+                # Hybrid pathwise channels. Per step each channel adds
+                #   * the free-flight survival likelihood  -d(alpha*t0)
+                #     on lanes that reached a boundary (the boundary
+                #     moves with theta via the propagated tangents), and
+                #   * the Fresnel coin likelihood with the FULL
+                #     derivative dR (explicit n-dependence plus the
+                #     incidence-cosine/normal movement), so the Snell
+                #     bending of earlier transmissions feeds later
+                #     coins through the direction tangents.
+                # Collision (absorption) segments contribute nothing:
+                # their sampled depth is held fixed (value-frame LR).
+                tang = state["tang"]
+                new_tang = []
+                surv = r["moving"] & ~r["absorbed"]
+                finite_t0 = jnp.isfinite(r["t0"])
+                t0_fin = jnp.where(finite_t0, r["t0"], 0.0)
+                a_t0 = r["alpha"] * t0_fin
+                # Collision-branch probability 1 - e^{-alpha t0} and the
+                # truncated-density reparameterization factor for the
+                # sampled depth s: ds/dt0 = e^{alpha(s-t0)} F(s)/F(t0).
+                coll_denom = jnp.maximum(-jnp.expm1(-a_t0), 1e-12)
+                coll = r["absorbed"] & finite_t0
+                s_dep = r["advance"]  # = sampled depth on absorbed lanes
+                rep_fac = (
+                    jnp.exp(jnp.minimum(r["alpha"] * (s_dep - t0_fin), 0.0))
+                    * (-jnp.expm1(-r["alpha"] * s_dep)) / coll_denom
+                )
+                for ci in range(len(cfg.pathwise)):
+                    th_dot = jnp.zeros((len(cfg.pathwise),), f)
+                    th_dot = th_dot.at[ci].set(1.0)
+                    d = step_lin(
+                        th_dot, tang[ci, 0], tang[ci, 1], tang[ci, 2],
+                        tang[ci, 3], tang[ci, 4], tang[ci, 5], tang[ci, 6],
+                    )
+                    dt0 = jnp.nan_to_num(d["t0"])
+                    dalpha = jnp.nan_to_num(d["alpha"])
+                    d_at0 = dalpha * t0_fin + r["alpha"] * dt0
+                    # survive-to-boundary: d log e^{-alpha t0}
+                    ds = jnp.where(surv, -d_at0, 0.0)
+                    # collide-before-boundary: d log (1 - e^{-alpha t0})
+                    ds = ds + jnp.where(
+                        coll, jnp.exp(-a_t0) * d_at0 / coll_denom, 0.0
+                    )
+                    # Fresnel coin with the FULL dR (incidence movement)
+                    ds = ds + jnp.where(
+                        coin, jnp.nan_to_num(d["refl_r"] * branch), 0.0
+                    )
+                    contribs.append(ds)
+                    # Absorption point moves with the boundary under the
+                    # truncated-density reparameterization: correct the
+                    # position tangent along the PRE-event direction.
+                    ds_rep = jnp.where(coll, dt0 * rep_fac, 0.0)
+                    tpx = jnp.nan_to_num(d["px"]) + ds_rep * state["dx"]
+                    tpy = jnp.nan_to_num(d["py"]) + ds_rep * state["dy"]
+                    tpz = jnp.nan_to_num(d["pz"]) + ds_rep * state["dz"]
+                    new_tang.append(
+                        jnp.stack([
+                            tpx, tpy, tpz,
+                            jnp.nan_to_num(d["dx"]),
+                            jnp.nan_to_num(d["dy"]),
+                            jnp.nan_to_num(d["dz"]),
+                            jnp.nan_to_num(d["wav"]),
+                        ])
+                    )
+                pw_tang = jnp.stack(new_tang)
             score = score + jnp.stack(contribs)
 
         if cfg.score:
@@ -1832,6 +1955,8 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
         }
         if cfg.score:
             out["score"] = score
+            if cfg.pathwise:
+                out["tang"] = pw_tang
 
         # --- lane regeneration -----------------------------------------
         if regen is not None:
@@ -1867,6 +1992,10 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             out["next"] = nxt
             if cfg.score:
                 out["score"] = jnp.where(refill[None, :], 0.0, score)
+                if cfg.pathwise:
+                    out["tang"] = jnp.where(
+                        refill[None, None, :], 0.0, pw_tang
+                    )
             nevents = jnp.where(refill, 0, nevents)
             if cfg.record_every > 0:
                 slot = jnp.where(

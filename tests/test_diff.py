@@ -320,3 +320,123 @@ def test_absorbed_fraction_sums_over_absorbing_nodes():
     got = float(weight(params, pos, dirs, wav)[0])
     expect = 1.0 - np.exp(-(0.6 * 1.0 + 0.9 * 1.0))
     assert abs(got - expect) < 2e-4, (got, expect)
+
+
+def tilted_fresnel_slab(n_slab=1.5, alpha=0.5, tilt_deg=30.0):
+    """Oblique incidence on a Fresnel absorber slab. Both the Fresnel
+    coin AND the internal chord length depend on n (Snell bending), so
+    d(fate)/dn requires the pathwise term the likelihood-only channel
+    misses."""
+    world = Node(
+        name="world",
+        geometry=Sphere(radius=10.0, material=Material(refractive_index=1.0)),
+    )
+    slab = Node(
+        name="slab",
+        parent=world,
+        geometry=Box(
+            (4.0, 4.0, 1.0),
+            material=Material(
+                refractive_index=n_slab, components=[Absorber(alpha)]
+            ),
+        ),
+    )
+    slab.rotate(np.radians(tilt_deg), (1, 0, 0))
+    light = Node(
+        name="light",
+        parent=world,
+        light=Light(wavelength=ConstantWavelengthMask(555.0)),
+    )
+    light.translate((0.0, 0.0, 3.0))
+    light.rotate(np.radians(180), (1, 0, 0))
+    return Scene(world)
+
+
+def _oblique_analytic(n, theta0, alpha, L):
+    """P(absorb) and dP/dn for the tilted slab (multiple internal
+    reflections at constant angle)."""
+    s, c1 = np.sin(theta0), np.cos(theta0)
+
+    def P(n):
+        st = s / n
+        ct = np.sqrt(1 - st * st)
+        rs = ((c1 - n * ct) / (c1 + n * ct)) ** 2
+        rp = ((ct - n * c1) / (ct + n * c1)) ** 2
+        R = 0.5 * (rs + rp)
+        T = np.exp(-alpha * L / ct)
+        return (1 - R) * (1 - T) / (1 - R * T)
+
+    h = 1e-6
+    return P(n), (P(n + h) - P(n - h)) / (2 * h)
+
+
+def test_pathwise_n_gradient_oblique_incidence():
+    """The hybrid pathwise channel recovers the FULL d(fate)/dn at 30
+    degrees incidence — Fresnel coin term plus the Snell chord term
+    (the likelihood-only 'refractive_index' channel gets only ~half)."""
+    n_slab, alpha, L, tilt = 1.5, 0.5, 1.0, np.radians(30.0)
+    p_true, dp_true = _oblique_analytic(n_slab, tilt, alpha, L)
+
+    N = 100_000
+    fr, gr = fate_gradients(
+        tilted_fresnel_slab(n_slab, alpha, np.degrees(tilt)), N, seed=3,
+        wrt="pathwise", pathwise=[("n", "slab")], dtype=np.float64,
+    )
+    sigma_p = np.sqrt(p_true * (1 - p_true) / N)
+    assert abs(fr[Event.NONRADIATIVE] - p_true) < 5 * sigma_p
+    assert abs(gr[Event.NONRADIATIVE][0] - dp_true) < 0.006, (
+        gr[Event.NONRADIATIVE][0], dp_true,
+    )
+    # EXIT picks up the opposite derivative (fates sum to 1)
+    assert abs(gr[Event.EXIT][0] + dp_true) < 0.008
+
+
+def test_pathwise_geometry_gradient_matches_analytic():
+    """d P(absorb) / d slab-thickness on the normal-incidence slab,
+    index-matched (P = 1 - e^{-aL}) and Fresnel (geometric series)."""
+    alpha, L = 0.8, 1.0
+    N = 100_000
+
+    def slab(fresnel):
+        world = Node(
+            name="world",
+            geometry=Sphere(
+                radius=10.0, material=Material(refractive_index=1.0)
+            ),
+        )
+        mat = Material(
+            refractive_index=(1.5 if fresnel else 1.0),
+            surface=(
+                Surface() if fresnel else Surface(delegate=NullSurfaceDelegate())
+            ),
+            components=[Absorber(alpha)],
+        )
+        Node(name="slab", parent=world, geometry=Box((2.0, 2.0, L), material=mat))
+        light = Node(
+            name="light",
+            parent=world,
+            light=Light(wavelength=ConstantWavelengthMask(555.0)),
+        )
+        light.translate((0.0, 0.0, 3.0))
+        light.rotate(np.radians(180), (1, 0, 0))
+        return Scene(world)
+
+    _, gr = fate_gradients(
+        slab(False), N, seed=3, wrt="pathwise",
+        pathwise=[("size", "slab", 2)], dtype=np.float64,
+    )
+    expect = alpha * np.exp(-alpha * L)
+    assert abs(gr[Event.NONRADIATIVE][0] - expect) < 0.005, (
+        gr[Event.NONRADIATIVE][0], expect,
+    )
+
+    R = ((1.5 - 1) / (1.5 + 1)) ** 2
+    T = np.exp(-alpha * L)
+    expect_f = -((1 - R) ** 2) / (1 - R * T) ** 2 * (-alpha * T)
+    _, gr2 = fate_gradients(
+        slab(True), N, seed=3, wrt="pathwise",
+        pathwise=[("size", "slab", 2)], dtype=np.float64,
+    )
+    assert abs(gr2[Event.NONRADIATIVE][0] - expect_f) < 0.005, (
+        gr2[Event.NONRADIATIVE][0], expect_f,
+    )
