@@ -564,56 +564,66 @@ def _empty_tallies(cfg, B):
 def _tally(tallies, compiled, cfg, sel, tnode, have_normal, wnormal3, lpos3,
            angle, wavelength, travelled, duration, score=None):
     """Accumulate one (optional) interaction per photon into matching
-    recorders (kernel tally, _kernel.pyx:501-556)."""
+    recorders (kernel tally, _kernel.pyx:501-556).
+
+    Vectorized over the recorder axis: one [B, R] match matrix, one-pass
+    axis reductions for counts, and MXU matmuls for the moment/score
+    sums — program size and step cost stay flat as R grows to the
+    256-recorder ceiling (the reference's cap, engine/compiler.py:23)
+    instead of emitting R unrolled reduce+scatter chains. Histogram
+    binning stays a per-spec loop (each histogram has its own axes);
+    cost is O(#histograms), not O(R^2).
+    """
+    R = cfg.n_recorders
     seen0 = tallies["seen"]
-    seen = seen0
-    distinct, cross = tallies["distinct"], tallies["cross"]
-    sums, bins = tallies["sums"], tallies["bins"]
     rec_scores = tallies.get("rec_scores") if score is not None else None
+
+    rn = jnp.asarray(compiled.rec_node[:R], jnp.int32)
+    rev = jnp.asarray(compiled.rec_event[:R], jnp.int32)
+    m = (tnode[:, None] == rn[None, :]) & (sel[:, None] == rev[None, :])
+    if np.any(compiled.rec_has_facet[:R]):
+        hf = jnp.asarray(compiled.rec_has_facet[:R] != 0)
+        facet = np.asarray(compiled.rec_facet[:R], dtype=cfg.dtype)
+        atol = jnp.asarray(compiled.rec_atol[:R], cfg.dtype)[None, :]
+        fm = have_normal[:, None]
+        for axis in range(3):
+            fm = fm & (
+                jnp.abs(wnormal3[axis][:, None] - facet[None, :, axis])
+                <= atol
+            )
+        m = m & (fm | ~hf[None, :])
+
+    new = m & ~seen0
+    newf = new.astype(cfg.dtype)
+    cross = tallies["cross"] + jnp.sum(m, axis=0, dtype=jnp.int32)
+    distinct = tallies["distinct"] + jnp.sum(new, axis=0, dtype=jnp.int32)
+    seen = seen0 | m
+    props8 = jnp.stack(
+        [
+            wavelength, wavelength * wavelength,
+            angle, angle * angle,
+            duration, duration * duration,
+            travelled, travelled * travelled,
+        ],
+        axis=-1,
+    )
+    # Full-precision matmuls: the TPU's default f32 matmul precision is
+    # reduced (bf16 passes) and would corrupt wavelength^2-scale moments.
+    sums = tallies["sums"] + jnp.matmul(
+        newf.T, props8, precision=jax.lax.Precision.HIGHEST
+    )
+    if rec_scores is not None:
+        rec_scores = rec_scores + jnp.matmul(
+            newf.T, score.T, precision=jax.lax.Precision.HIGHEST
+        )
+
+    bins = tallies["bins"]
     props = {
         0: wavelength, 1: angle, 2: duration, 3: travelled,
         4: lpos3[0], 5: lpos3[1], 6: lpos3[2],
     }
-
-    def match_mask(r):
-        m = (tnode == int(compiled.rec_node[r])) & (
-            sel == int(compiled.rec_event[r])
-        )
-        if compiled.rec_has_facet[r]:
-            fx, fy, fz = compiled.rec_facet[r]
-            atol = float(compiled.rec_atol[r])
-            m = m & have_normal
-            m = m & (jnp.abs(fx - wnormal3[0]) <= atol)
-            m = m & (jnp.abs(fy - wnormal3[1]) <= atol)
-            m = m & (jnp.abs(fz - wnormal3[2]) <= atol)
-        return m
-
-    for r in range(cfg.n_recorders):
-        m = match_mask(r)
-        cross = cross.at[r].add(jnp.sum(m, dtype=jnp.int32))
-        new = m & ~seen0[:, r]
-        seen = seen.at[:, r].set(seen0[:, r] | m)
-        distinct = distinct.at[r].add(jnp.sum(new, dtype=jnp.int32))
-        newf = new.astype(cfg.dtype)
-        sums = sums.at[r].add(
-            jnp.stack(
-                [
-                    jnp.sum(wavelength * newf),
-                    jnp.sum(wavelength * wavelength * newf),
-                    jnp.sum(angle * newf),
-                    jnp.sum(angle * angle * newf),
-                    jnp.sum(duration * newf),
-                    jnp.sum(duration * duration * newf),
-                    jnp.sum(travelled * newf),
-                    jnp.sum(travelled * travelled * newf),
-                ]
-            )
-        )
-        if rec_scores is not None:
-            rec_scores = rec_scores.at[r].add(jnp.sum(score * newf, axis=1))
     for (r, prop_a, prop_b, na, nb, lo_a, hi_a, lo_b, hi_b, offset) in cfg.hist_specs:
-        m = match_mask(r)
-        new = m & ~seen0[:, r]
+        new = m[:, r] & ~seen0[:, r]
         va = props[prop_a]
         ia = jnp.floor((va - lo_a) / (hi_a - lo_a) * na).astype(jnp.int32)
         ok = new & (ia >= 0) & (ia < na)

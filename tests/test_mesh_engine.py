@@ -131,3 +131,50 @@ def test_mesh_regeneration_and_recorders():
     assert a["lost"].rays == b["lost"].rays
     assert a["top-escape"].rays == b["top-escape"].rays
     assert a["top-escape"].rays > 0
+
+
+def test_mesh_lsc_coated_device_vs_oracle():
+    """BASELINE config #5 at test scale: hexagonal MESH plate with a
+    back-surface mirror + six edge solar cells (facet overrides), dye
+    re-absorption. Device fates must match the oracle tracer and the
+    six cells must collect symmetrically."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+    from mesh_lsc import build_mesh_lsc
+
+    from pvtrace_tpu.algorithm import photon_tracer
+
+    scene = build_mesh_lsc()
+    N = 12000
+    result = engine.simulate(scene, N, seed=5, record_every=0)
+    fates = result.fate_counts()
+    assert set(fates) <= {Event.EXIT, Event.NONRADIATIVE, Event.KILL}
+    p_engine = fates.get(Event.NONRADIATIVE, 0) / N
+
+    n2 = 400
+    np.random.seed(21)
+    absorbed = 0
+    for ray in scene.emit(n2):
+        history = photon_tracer.follow(scene, ray)
+        if history[-1][1] == Event.NONRADIATIVE:
+            absorbed += 1
+    p_oracle = absorbed / n2
+    p = (fates.get(Event.NONRADIATIVE, 0) + absorbed) / (N + n2)
+    z = abs(p_engine - p_oracle) / np.sqrt(
+        max(p * (1 - p) * (1 / N + 1 / n2), 1e-12)
+    )
+    assert z < 5, (p_engine, p_oracle, z)
+
+    # Six-fold symmetry of the edge collection (chi-square-ish bound)
+    cells = np.array(
+        [result.recorders[f"cell_{i}"].rays for i in range(6)], float
+    )
+    assert cells.sum() > 0
+    expected = cells.sum() / 6.0
+    assert np.all(np.abs(cells - expected) < 6 * np.sqrt(expected)), cells
+    # The mirror means nothing escapes through the bottom: a bottom
+    # 'escaping' recorder would be empty — covered implicitly by the
+    # cells + incident bookkeeping.
+    assert result.recorders["incident"].rays > 0.9 * N
