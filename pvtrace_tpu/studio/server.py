@@ -118,11 +118,15 @@ class Studio:
         nodes = []
         for i, name in enumerate(compiled.node_names):
             params = np.asarray(compiled.geom_params[i]).tolist()
+            triangles = None
             if i in compiled.mesh_data:
-                # Meshes render as their local bounding box; pass the
-                # half-extents in the params slot the viewport expects.
+                # Real triangle soup for the WebGL viewport, plus
+                # bounding-box extents in the params slot (wireframe
+                # overlay + camera fitting).
                 v0, e1, e2, _ = compiled.mesh_data[i]
-                verts = np.concatenate([v0, v0 + e1, v0 + e2])
+                tri = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # [T, 3, 3]
+                triangles = tri.ravel().tolist()
+                verts = tri.reshape(-1, 3)
                 half = np.max(np.abs(verts), axis=0)
                 params = (2.0 * half).tolist() + [0.0]
             nodes.append(
@@ -130,6 +134,7 @@ class Studio:
                     "name": name,
                     "type": GEOM_NAMES[int(compiled.geom_type[i])],
                     "params": params,
+                    "triangles": triangles,
                     # Row-major 4x4 local -> world
                     "matrix": np.asarray(
                         compiled.local_to_world[i]

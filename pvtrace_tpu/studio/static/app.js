@@ -182,9 +182,417 @@ function fitCameraToScene() {
   camera.dist = radius * 3.2;
 }
 
+// ---------------------------------------------------------------- webgl
+//
+// Solid depth-tested rendering: shaded translucent geometry (true
+// triangle soup for mesh nodes), wavelength-coloured ray paths occluded
+// by geometry, and recorder heatmaps uploaded as textures painted onto
+// geometry faces. The 2D canvas on top keeps axes, wireframe outlines
+// and the drag gizmo (and is the full fallback when WebGL is absent).
+
+const glState = {
+  gl: null,
+  solid: null,
+  line: null,
+  tex: null,
+  meshes: new Map(),   // node name -> {buffer, count, key}
+  textures: new Map(), // recorder/hist key -> {tex, na, nb, stamp}
+};
+
+function compileProgram(gl, vsSource, fsSource, attribs) {
+  const make = (type, source) => {
+    const shader = gl.createShader(type);
+    gl.shaderSource(shader, source);
+    gl.compileShader(shader);
+    if (!gl.getShaderParameter(shader, gl.COMPILE_STATUS))
+      throw new Error(gl.getShaderInfoLog(shader));
+    return shader;
+  };
+  const program = gl.createProgram();
+  gl.attachShader(program, make(gl.VERTEX_SHADER, vsSource));
+  gl.attachShader(program, make(gl.FRAGMENT_SHADER, fsSource));
+  gl.linkProgram(program);
+  if (!gl.getProgramParameter(program, gl.LINK_STATUS))
+    throw new Error(gl.getProgramInfoLog(program));
+  const handles = { program };
+  for (const name of attribs) handles[name] = gl.getAttribLocation(program, name);
+  return handles;
+}
+
+function initGL() {
+  const canvas = $("viewport-gl");
+  let gl = null;
+  try {
+    gl = canvas.getContext("webgl", { antialias: true, premultipliedAlpha: false });
+  } catch (e) { gl = null; }
+  if (!gl) return;
+  glState.gl = gl;
+  glState.solid = compileProgram(gl, `
+    attribute vec3 aPos; attribute vec3 aNrm;
+    uniform mat4 uMVP; uniform mat3 uNormal;
+    varying vec3 vNrm;
+    void main() { gl_Position = uMVP * vec4(aPos, 1.0); vNrm = uNormal * aNrm; }
+  `, `
+    precision mediump float;
+    uniform vec4 uColor; uniform vec3 uLight;
+    varying vec3 vNrm;
+    void main() {
+      float d = abs(dot(normalize(vNrm), uLight));
+      gl_FragColor = vec4(uColor.rgb * (0.4 + 0.6 * d), uColor.a);
+    }
+  `, ["aPos", "aNrm"]);
+  glState.line = compileProgram(gl, `
+    attribute vec3 aPos; attribute vec3 aCol;
+    uniform mat4 uMVP; varying vec3 vCol;
+    void main() { gl_Position = uMVP * vec4(aPos, 1.0); vCol = aCol; }
+  `, `
+    precision mediump float; varying vec3 vCol; uniform float uAlpha;
+    void main() { gl_FragColor = vec4(vCol, uAlpha); }
+  `, ["aPos", "aCol"]);
+  glState.tex = compileProgram(gl, `
+    attribute vec3 aPos; attribute vec2 aUV;
+    uniform mat4 uMVP; varying vec2 vUV;
+    void main() { gl_Position = uMVP * vec4(aPos, 1.0); vUV = aUV; }
+  `, `
+    precision mediump float; uniform sampler2D uTex; varying vec2 vUV;
+    void main() {
+      vec4 t = texture2D(uTex, vUV);
+      if (t.a < 0.01) discard;
+      gl_FragColor = t;
+    }
+  `, ["aPos", "aUV"]);
+}
+
+// column-major 4x4 helpers
+function matMul(a, b) {
+  const out = new Float32Array(16);
+  for (let c = 0; c < 4; c++)
+    for (let r = 0; r < 4; r++) {
+      let s = 0;
+      for (let k = 0; k < 4; k++) s += a[k * 4 + r] * b[c * 4 + k];
+      out[c * 4 + r] = s;
+    }
+  return out;
+}
+
+function modelMatrixCM(rowMajor16) {
+  const m = rowMajor16;
+  return new Float32Array([
+    m[0], m[4], m[8], m[12],
+    m[1], m[5], m[9], m[13],
+    m[2], m[6], m[10], m[14],
+    m[3], m[7], m[11], m[15],
+  ]);
+}
+
+function viewProjMatrix(width, height) {
+  const { forward, right, up } = cameraBasis();
+  const eye = [
+    camera.target[0] + forward[0] * camera.dist,
+    camera.target[1] + forward[1] * camera.dist,
+    camera.target[2] + forward[2] * camera.dist,
+  ];
+  const dot = (v) => -(v[0] * eye[0] + v[1] * eye[1] + v[2] * eye[2]);
+  // camera looks along -forward; view rows are right/up/forward
+  const view = new Float32Array([
+    right[0], up[0], forward[0], 0,
+    right[1], up[1], forward[1], 0,
+    right[2], up[2], forward[2], 0,
+    dot(right), dot(up), dot(forward), 1,
+  ]);
+  const zn = camera.dist * 0.01, zf = camera.dist * 60;
+  const proj = new Float32Array(16);
+  proj[0] = (2 * camera.fov) / width;
+  proj[5] = (2 * camera.fov) / height;
+  proj[10] = -(zf + zn) / (zf - zn);
+  proj[11] = -1;
+  proj[14] = (-2 * zf * zn) / (zf - zn);
+  return { vp: matMul(proj, view), eye };
+}
+
+// Triangle tessellation (positions + per-vertex normals, local frame)
+
+function pushTri(out, a, b, c, n) {
+  for (const p of [a, b, c]) out.push(p[0], p[1], p[2], n[0], n[1], n[2]);
+}
+
+function faceNormal(a, b, c) {
+  const u = [b[0] - a[0], b[1] - a[1], b[2] - a[2]];
+  const v = [c[0] - a[0], c[1] - a[1], c[2] - a[2]];
+  const n = [
+    u[1] * v[2] - u[2] * v[1],
+    u[2] * v[0] - u[0] * v[2],
+    u[0] * v[1] - u[1] * v[0],
+  ];
+  const m = Math.hypot(...n) || 1;
+  return [n[0] / m, n[1] / m, n[2] / m];
+}
+
+function tessellate(node) {
+  const p = node.params;
+  const out = [];
+  if (node.type === "mesh" && node.triangles) {
+    for (let t = 0; t + 8 < node.triangles.length; t += 9) {
+      const a = node.triangles.slice(t, t + 3);
+      const b = node.triangles.slice(t + 3, t + 6);
+      const c = node.triangles.slice(t + 6, t + 9);
+      pushTri(out, a, b, c, faceNormal(a, b, c));
+    }
+    return out;
+  }
+  if (node.type === "box" || node.type === "mesh") {
+    const [a, b, c] = [p[0] / 2, p[1] / 2, p[2] / 2];
+    const faces = [
+      [[1, 0, 0], [[a,-b,-c],[a,b,-c],[a,b,c],[a,-b,c]]],
+      [[-1, 0, 0], [[-a,-b,-c],[-a,-b,c],[-a,b,c],[-a,b,-c]]],
+      [[0, 1, 0], [[-a,b,-c],[-a,b,c],[a,b,c],[a,b,-c]]],
+      [[0, -1, 0], [[-a,-b,-c],[a,-b,-c],[a,-b,c],[-a,-b,c]]],
+      [[0, 0, 1], [[-a,-b,c],[a,-b,c],[a,b,c],[-a,b,c]]],
+      [[0, 0, -1], [[-a,-b,-c],[-a,b,-c],[a,b,-c],[a,-b,-c]]],
+    ];
+    for (const [n, q] of faces) {
+      pushTri(out, q[0], q[1], q[2], n);
+      pushTri(out, q[0], q[2], q[3], n);
+    }
+    return out;
+  }
+  if (node.type === "sphere") {
+    const r = p[0], LAT = 16, LON = 24;
+    const at = (i, j) => {
+      const th = (Math.PI * i) / LAT, ph = (2 * Math.PI * j) / LON;
+      return [
+        r * Math.sin(th) * Math.cos(ph),
+        r * Math.sin(th) * Math.sin(ph),
+        r * Math.cos(th),
+      ];
+    };
+    for (let i = 0; i < LAT; i++)
+      for (let j = 0; j < LON; j++) {
+        const q = [at(i, j), at(i + 1, j), at(i + 1, j + 1), at(i, j + 1)];
+        const nrm = (v) => { const m = Math.hypot(...v) || 1; return [v[0]/m, v[1]/m, v[2]/m]; };
+        out.push(
+          ...q[0], ...nrm(q[0]), ...q[1], ...nrm(q[1]), ...q[2], ...nrm(q[2]),
+          ...q[0], ...nrm(q[0]), ...q[2], ...nrm(q[2]), ...q[3], ...nrm(q[3]),
+        );
+      }
+    return out;
+  }
+  if (node.type === "cylinder") {
+    const [length, r] = [p[0], p[1]], N = 32, h = length / 2;
+    for (let j = 0; j < N; j++) {
+      const t0 = (2 * Math.PI * j) / N, t1 = (2 * Math.PI * (j + 1)) / N;
+      const x0 = Math.cos(t0), y0 = Math.sin(t0);
+      const x1 = Math.cos(t1), y1 = Math.sin(t1);
+      const q = [
+        [r * x0, r * y0, -h], [r * x1, r * y1, -h],
+        [r * x1, r * y1, h], [r * x0, r * y0, h],
+      ];
+      out.push(
+        ...q[0], x0, y0, 0, ...q[1], x1, y1, 0, ...q[2], x1, y1, 0,
+        ...q[0], x0, y0, 0, ...q[2], x1, y1, 0, ...q[3], x0, y0, 0,
+      );
+      pushTri(out, [0, 0, h], [r * x0, r * y0, h], [r * x1, r * y1, h], [0, 0, 1]);
+      pushTri(out, [0, 0, -h], [r * x1, r * y1, -h], [r * x0, r * y0, -h], [0, 0, -1]);
+    }
+    return out;
+  }
+  return out;
+}
+
+function nodeMesh(gl, node) {
+  const key = JSON.stringify([node.type, node.params,
+                              node.triangles ? node.triangles.length : 0]);
+  let entry = glState.meshes.get(node.name);
+  if (!entry || entry.key !== key) {
+    const data = new Float32Array(tessellate(node));
+    const buffer = (entry && entry.buffer) || gl.createBuffer();
+    gl.bindBuffer(gl.ARRAY_BUFFER, buffer);
+    gl.bufferData(gl.ARRAY_BUFFER, data, gl.STATIC_DRAW);
+    entry = { buffer, count: data.length / 6, key };
+    glState.meshes.set(node.name, entry);
+  }
+  return entry;
+}
+
+function heatmapTexture(gl, key, hist, entry) {
+  const [na, nb] = entry.shape;
+  let cached = glState.textures.get(key);
+  if (!cached) {
+    cached = { tex: gl.createTexture(), stamp: null };
+    glState.textures.set(key, cached);
+  }
+  const stamp = entry.values.reduce((s, v) => s + v, 0);
+  if (cached.stamp !== stamp) {
+    const peak = Math.max(1, ...entry.values);
+    const rgba = new Uint8Array(na * nb * 4);
+    for (let i = 0; i < na; i++)
+      for (let j = 0; j < nb; j++) {
+        const value = entry.values[i * nb + j];
+        const k = (i * nb + j) * 4;
+        if (value) {
+          const [r, g, b] = heatColor(value / peak);
+          rgba[k] = r; rgba[k + 1] = g; rgba[k + 2] = b; rgba[k + 3] = 217;
+        }
+      }
+    gl.bindTexture(gl.TEXTURE_2D, cached.tex);
+    gl.texImage2D(gl.TEXTURE_2D, 0, gl.RGBA, nb, na, 0, gl.RGBA,
+                  gl.UNSIGNED_BYTE, rgba);
+    gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_MIN_FILTER, gl.NEAREST);
+    gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_MAG_FILTER, gl.NEAREST);
+    gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_WRAP_S, gl.CLAMP_TO_EDGE);
+    gl.texParameteri(gl.TEXTURE_2D, gl.TEXTURE_WRAP_T, gl.CLAMP_TO_EDGE);
+    cached.stamp = stamp;
+  }
+  return cached.tex;
+}
+
+function drawGLHeatmaps(gl, vp) {
+  if (!state.histMeta || !state.recorders) return;
+  const handles = glState.tex;
+  gl.useProgram(handles.program);
+  const buffer = gl.createBuffer();
+  for (const [name, meta] of Object.entries(state.histMeta)) {
+    if (!meta.facet) continue;
+    const tallies = state.recorders[name];
+    const node = state.scene.nodes.find((n) => n.name === meta.node);
+    if (!tallies || !node || node.type !== "box") continue;
+    meta.histograms.forEach((hist, index) => {
+      if (hist.kind !== "heatmap") return;
+      const axisA = POSITION_AXES[hist.prop_a];
+      const axisB = POSITION_AXES[hist.prop_b];
+      if (axisA === undefined || axisB === undefined) return;
+      const entry = tallies.histograms[index];
+      if (!entry) return;
+      const fixedAxis = meta.facet.findIndex((v) => Math.abs(v) > 0.5);
+      if (fixedAxis < 0 || fixedAxis === axisA || fixedAxis === axisB) return;
+      const lift = 1.002;
+      const offset = meta.facet[fixedAxis] * (node.params[fixedAxis] / 2) * lift;
+      const loA = hist.edges_a[0], hiA = hist.edges_a[hist.edges_a.length - 1];
+      const loB = hist.edges_b[0], hiB = hist.edges_b[hist.edges_b.length - 1];
+      const corner = (a, b, u, v) => {
+        const local = [0, 0, 0];
+        local[axisA] = a; local[axisB] = b; local[fixedAxis] = offset;
+        const w = mat4Apply(node.matrix, local);
+        return [w[0], w[1], w[2], u, v];
+      };
+      const c00 = corner(loA, loB, 0, 0), c01 = corner(loA, hiB, 1, 0);
+      const c11 = corner(hiA, hiB, 1, 1), c10 = corner(hiA, loB, 0, 1);
+      const verts = new Float32Array([
+        ...c00, ...c10, ...c11, ...c00, ...c11, ...c01,
+      ]);
+      gl.bindBuffer(gl.ARRAY_BUFFER, buffer);
+      gl.bufferData(gl.ARRAY_BUFFER, verts, gl.DYNAMIC_DRAW);
+      gl.enableVertexAttribArray(handles.aPos);
+      gl.vertexAttribPointer(handles.aPos, 3, gl.FLOAT, false, 20, 0);
+      gl.enableVertexAttribArray(handles.aUV);
+      gl.vertexAttribPointer(handles.aUV, 2, gl.FLOAT, false, 20, 12);
+      gl.uniformMatrix4fv(
+        gl.getUniformLocation(handles.program, "uMVP"), false, vp);
+      gl.bindTexture(gl.TEXTURE_2D,
+                     heatmapTexture(gl, `${name}:${index}`, hist, entry));
+      gl.uniform1i(gl.getUniformLocation(handles.program, "uTex"), 0);
+      gl.drawArrays(gl.TRIANGLES, 0, 6);
+    });
+  }
+  gl.deleteBuffer(buffer);
+}
+
+function drawGLPaths(gl, vp) {
+  if (!state.paths.length) return;
+  const handles = glState.line;
+  gl.useProgram(handles.program);
+  const verts = [];
+  for (const path of state.paths) {
+    for (let i = 0; i + 1 < path.points.length; i++) {
+      const rgb = wavelengthToRGB(path.wavelengths[i + 1])
+        .match(/\d+/g).map((v) => v / 255);
+      verts.push(...path.points[i], ...rgb, ...path.points[i + 1], ...rgb);
+    }
+  }
+  const buffer = gl.createBuffer();
+  gl.bindBuffer(gl.ARRAY_BUFFER, buffer);
+  gl.bufferData(gl.ARRAY_BUFFER, new Float32Array(verts), gl.DYNAMIC_DRAW);
+  gl.enableVertexAttribArray(handles.aPos);
+  gl.vertexAttribPointer(handles.aPos, 3, gl.FLOAT, false, 24, 0);
+  gl.enableVertexAttribArray(handles.aCol);
+  gl.vertexAttribPointer(handles.aCol, 3, gl.FLOAT, false, 24, 12);
+  gl.uniformMatrix4fv(gl.getUniformLocation(handles.program, "uMVP"), false, vp);
+  gl.uniform1f(gl.getUniformLocation(handles.program, "uAlpha"), 0.8);
+  gl.drawArrays(gl.LINES, 0, verts.length / 6);
+  gl.deleteBuffer(buffer);
+}
+
+function drawGLScene() {
+  const gl = glState.gl;
+  if (!gl || !state.scene) return;
+  const canvas = $("viewport-gl");
+  const rect = canvas.parentElement.getBoundingClientRect();
+  if (canvas.width !== rect.width || canvas.height !== rect.height) {
+    canvas.width = rect.width;
+    canvas.height = rect.height;
+  }
+  gl.viewport(0, 0, canvas.width, canvas.height);
+  gl.clearColor(0, 0, 0, 0);
+  gl.clear(gl.COLOR_BUFFER_BIT | gl.DEPTH_BUFFER_BIT);
+  gl.enable(gl.DEPTH_TEST);
+  gl.enable(gl.BLEND);
+  gl.blendFunc(gl.SRC_ALPHA, gl.ONE_MINUS_SRC_ALPHA);
+
+  const { vp, eye } = viewProjMatrix(canvas.width, canvas.height);
+
+  // ray paths write depth so geometry in front occludes correctly
+  gl.depthMask(true);
+  drawGLPaths(gl, vp);
+
+  // translucent shaded geometry, far-to-near, no depth writes
+  gl.depthMask(false);
+  const handles = glState.solid;
+  gl.useProgram(handles.program);
+  const nodes = state.scene.nodes
+    .filter((n) => !n.root && n.params.some((v) => v > 0))
+    .map((n) => {
+      const c = mat4Apply(n.matrix, [0, 0, 0]);
+      return { n, d: Math.hypot(c[0] - eye[0], c[1] - eye[1], c[2] - eye[2]) };
+    })
+    .sort((a, b) => b.d - a.d);
+  for (const { n: node } of nodes) {
+    const entry = nodeMesh(gl, node);
+    if (!entry.count) continue;
+    gl.bindBuffer(gl.ARRAY_BUFFER, entry.buffer);
+    gl.enableVertexAttribArray(handles.aPos);
+    gl.vertexAttribPointer(handles.aPos, 3, gl.FLOAT, false, 24, 0);
+    gl.enableVertexAttribArray(handles.aNrm);
+    gl.vertexAttribPointer(handles.aNrm, 3, gl.FLOAT, false, 24, 12);
+    const model = modelMatrixCM(node.matrix);
+    gl.uniformMatrix4fv(
+      gl.getUniformLocation(handles.program, "uMVP"), false,
+      matMul(vp, model));
+    const m = node.matrix;
+    gl.uniformMatrix3fv(
+      gl.getUniformLocation(handles.program, "uNormal"), false,
+      new Float32Array([m[0], m[4], m[8], m[1], m[5], m[9], m[2], m[6], m[10]]));
+    const selected = node.name === state.selected;
+    gl.uniform4f(
+      gl.getUniformLocation(handles.program, "uColor"),
+      selected ? 0.30 : 0.55, selected ? 0.64 : 0.62, selected ? 1.0 : 0.72,
+      node.type === "mesh" ? 0.30 : 0.22);
+    gl.uniform3f(
+      gl.getUniformLocation(handles.program, "uLight"), 0.4, 0.25, 0.88);
+    gl.drawArrays(gl.TRIANGLES, 0, entry.count);
+  }
+
+  drawGLHeatmaps(gl, vp);
+  gl.depthMask(true);
+}
+
 // ---------------------------------------------------------------- viewport
 
 function drawViewport() {
+  drawGLScene();
+  drawOverlay();
+}
+
+function drawOverlay() {
   const canvas = $("viewport");
   const rect = canvas.parentElement.getBoundingClientRect();
   if (canvas.width !== rect.width || canvas.height !== rect.height) {
@@ -211,18 +619,19 @@ function drawViewport() {
   line([0, 0, 0], [0, 1, 0], "#2f6b2f", 1.5);
   line([0, 0, 0], [0, 0, 1], "#2d5e95", 1.5);
 
-  // recorder heatmaps painted on geometry faces, under everything else
-  drawFaceHeatmaps(context, width, height);
-
-  // ray paths first so geometry reads on top
-  context.globalAlpha = 0.75;
-  for (const path of state.paths) {
-    for (let i = 0; i + 1 < path.points.length; i++) {
-      line(path.points[i], path.points[i + 1],
-           wavelengthToRGB(path.wavelengths[i + 1]), 1);
+  // WebGL draws shaded geometry, depth-tested ray paths and heatmap
+  // face textures underneath; without it the 2D canvas covers both.
+  if (!glState.gl) {
+    drawFaceHeatmaps(context, width, height);
+    context.globalAlpha = 0.75;
+    for (const path of state.paths) {
+      for (let i = 0; i + 1 < path.points.length; i++) {
+        line(path.points[i], path.points[i + 1],
+             wavelengthToRGB(path.wavelengths[i + 1]), 1);
+      }
     }
+    context.globalAlpha = 1;
   }
-  context.globalAlpha = 1;
 
   if (!state.scene) return;
   for (const node of state.scene.nodes) {
@@ -664,6 +1073,7 @@ function renderAll() {
 }
 
 async function boot() {
+  initGL();
   setupViewportControls();
   $("apply").onclick = () => applyDocument($("editor").value);
   $("editor").addEventListener("keydown", (event) => {

@@ -235,3 +235,65 @@ def test_frontend_has_gizmo_and_face_heatmaps():
     for needle in ("function drawFaceHeatmaps", "function paintFace",
                    "meta.facet"):
         assert needle in source, needle
+
+
+def test_frontend_webgl_viewport():
+    """The viewport renders through WebGL: shaded depth-tested geometry
+    (true mesh triangle soup from the server payload), ray paths drawn
+    as depth-tested GL lines, and recorder heatmaps uploaded as textures
+    painted onto geometry faces (reference three.js viewport parity,
+    reference studio/static/app.js:156)."""
+    app = os.path.join(
+        os.path.dirname(studio_server.__file__), "static", "app.js"
+    )
+    with open(app) as fh:
+        source = fh.read()
+    for needle in (
+        'getContext("webgl"',      # real GL context
+        "function drawGLScene",    # shaded geometry pass
+        "function drawGLPaths",    # depth-tested ray lines
+        "function heatmapTexture", # histograms -> GL textures
+        "gl.texImage2D",
+        "DEPTH_TEST",
+        "function tessellate",     # box/sphere/cylinder/mesh triangles
+        "node.triangles",          # true mesh soup from the server
+    ):
+        assert needle in source, needle
+    index = os.path.join(
+        os.path.dirname(studio_server.__file__), "static", "index.html"
+    )
+    with open(index) as fh:
+        assert 'id="viewport-gl"' in fh.read()
+
+
+def test_mesh_triangles_in_scene_payload(tmp_path):
+    """Mesh nodes ship their real triangle soup to the viewport."""
+    import numpy as np
+
+    from pvtrace_tpu import Material, Node, Scene, Sphere
+    from pvtrace_tpu.engine.compiler import compile_scene
+    from pvtrace_tpu.geometry.mesh import Mesh
+
+    v = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=float
+    )
+    f = np.array([[0, 2, 1], [0, 1, 3], [0, 3, 2], [1, 2, 3]])
+    world = Node(
+        name="world",
+        geometry=Sphere(radius=5.0, material=Material(refractive_index=1.0)),
+    )
+    Node(
+        name="tetra",
+        parent=world,
+        geometry=Mesh((v, f), material=Material(refractive_index=1.5)),
+    )
+    studio = studio_server.Studio()
+    studio.scene = Scene(world)
+    studio.spec = {}
+    payload = studio.scene_payload(compile_scene(studio.scene))
+    tetra = next(n for n in payload["nodes"] if n["name"] == "tetra")
+    assert tetra["type"] == "mesh"
+    assert tetra["triangles"] is not None
+    assert len(tetra["triangles"]) == 4 * 9  # 4 faces x 3 verts x xyz
+    box = next(n for n in payload["nodes"] if n["name"] == "world")
+    assert box["triangles"] is None
