@@ -65,6 +65,29 @@ def write_history(cursor, throw_id, history):
         )
 
 
+def _start_watch_server(args):
+    """Studio server thread + browser tab for `simulate --watch`:
+    the trace loop below broadcasts live progress (recorder tallies,
+    sampled ray paths, rays/s) to every connected viewer — the
+    reference's monitor-thread live meshcat view, re-done over SSE
+    (reference cli/main.py:85-161)."""
+    import threading
+
+    from pvtrace_tpu.studio.server import create_server
+
+    server = create_server(
+        document_path=args.scene, host="127.0.0.1", port=args.port
+    )
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{server.server_address[1]}/?watch=1"
+    print(f"live view: {url}", file=sys.stderr)
+    if not getattr(args, "no_browser", False):
+        import webbrowser
+
+        webbrowser.open(url)
+    return server
+
+
 def cmd_simulate(args):
     from pvtrace_tpu.cli.parse import parse
 
@@ -72,6 +95,8 @@ def cmd_simulate(args):
     database = args.database or (os.path.splitext(args.scene)[0] + ".sqlite3")
     connection = prepare_database(database)
     cursor = connection.cursor()
+
+    watch_server = _start_watch_server(args) if args.watch else None
 
     rays = args.rays
     traced = 0
@@ -87,18 +112,75 @@ def cmd_simulate(args):
         from pvtrace_tpu.engine.compiler import UnsupportedSceneError
 
         try:
+            import time as time_module
+
+            import numpy as np
+
+            from pvtrace_tpu.studio.server import (
+                _extract_paths,
+                _histogram_meta,
+                _recorder_payload,
+            )
+
+            compiled = engine.compile_scene(scene)
+            n_rec = len(compiled.recorder_names)
+            distinct = np.zeros(n_rec, dtype=np.int64)
+            crossings = np.zeros(n_rec, dtype=np.int64)
+            sums = np.zeros((n_rec, 4, 2), dtype=np.float64)
+            bins = np.zeros(int(compiled.total_bins), dtype=np.int64)
+            sent_paths = 0
+            tic = time_module.perf_counter()
+            if watch_server:
+                watch_server.watch_broadcast(
+                    {
+                        "type": "started",
+                        "total": rays,
+                        "histograms": _histogram_meta(compiled),
+                    }
+                )
+
             throw_id = 0
             for result, done in engine.simulate_stream(
                 scene, rays, bundle=min(rays, args.bundle), seed=args.seed,
-                record_every=1,
+                record_every=1, compiled=compiled,
             ):
                 for history in result.histories():
                     full = [(r, e, m) for r, e, m in history]
                     write_history(cursor, throw_id, full)
                     throw_id += 1
                 connection.commit()
+                if watch_server:
+                    distinct += result.data["rec_distinct"]
+                    crossings += result.data["rec_crossings"]
+                    sums += result.data["rec_sums"].reshape(n_rec, 4, 2)
+                    bins += result.data["rec_bins"]
+                    paths = []
+                    if sent_paths < 200:
+                        paths = _extract_paths(result, 200 - sent_paths)
+                        sent_paths += len(paths)
+                    elapsed = time_module.perf_counter() - tic
+                    watch_server.watch_broadcast(
+                        {
+                            "type": "bundle",
+                            "traced": done,
+                            "total": rays,
+                            "rays_per_second": done / elapsed
+                            if elapsed > 0 else 0,
+                            "recorders": _recorder_payload(
+                                compiled, distinct, crossings, sums, bins
+                            ),
+                            "paths": paths,
+                        }
+                    )
                 print(f"traced {done}/{rays}", file=sys.stderr)
             traced = throw_id
+            if watch_server:
+                watch_server.watch_broadcast(
+                    {
+                        "type": "done",
+                        "elapsed": time_module.perf_counter() - tic,
+                    }
+                )
         except UnsupportedSceneError as err:
             print(f"engine unavailable ({err}); using python tracer",
                   file=sys.stderr)
@@ -110,6 +192,15 @@ def cmd_simulate(args):
     connection.commit()
     connection.close()
     print(f"Wrote {traced} ray histories to {database}")
+    if watch_server and args.hold_watch:
+        print("watch server running; Ctrl-C to exit", file=sys.stderr)
+        try:
+            while True:
+                import time as time_module
+
+                time_module.sleep(1.0)
+        except KeyboardInterrupt:
+            pass
     return 0
 
 
@@ -255,6 +346,17 @@ def build_parser():
     p.add_argument(
         "--tracer", choices=("auto", "python"), default="auto",
         help="'python' forces the per-ray oracle tracer",
+    )
+    p.add_argument(
+        "--watch", action="store_true",
+        help="open a live browser view of the run (studio viewport)",
+    )
+    p.add_argument("--port", type=int, default=0,
+                   help="watch-server port (0 = ephemeral)")
+    p.add_argument("--no-browser", action="store_true")
+    p.add_argument(
+        "--hold-watch", action="store_true",
+        help="keep the watch server alive after the run finishes",
     )
     p.set_defaults(func=cmd_simulate)
 

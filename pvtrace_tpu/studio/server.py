@@ -527,6 +527,17 @@ def create_server(document_path=None, host="127.0.0.1", port=8567):
 
     stop_flag = threading.Event()
     run_lock = threading.Lock()
+    # Watch mode (CLI `simulate --watch`): an external producer pushes
+    # started/bundle/done messages; every connected /api/watch client
+    # receives them over SSE.
+    watch_clients = []
+    watch_lock = threading.Lock()
+
+    def watch_broadcast(message):
+        with watch_lock:
+            clients = list(watch_clients)
+        for client in clients:
+            client.put(message)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -584,6 +595,8 @@ def create_server(document_path=None, host="127.0.0.1", port=8567):
                 self._json({"text": studio.document})
             elif route == "/api/run":
                 self._run_sse(dict(urllib.parse.parse_qsl(parsed.query)))
+            elif route == "/api/watch":
+                self._watch_sse()
             else:
                 self.send_error(404)
 
@@ -643,6 +656,35 @@ def create_server(document_path=None, host="127.0.0.1", port=8567):
             data = json.dumps(obj)
             self.wfile.write(f"data: {data}\n\n".encode())
             self.wfile.flush()
+
+        def _watch_sse(self):
+            """Relay externally produced run messages (CLI --watch)."""
+            import queue as queue_module
+
+            client = queue_module.Queue()
+            with watch_lock:
+                watch_clients.append(client)
+            try:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "close")
+                self.end_headers()
+                while True:
+                    try:
+                        message = client.get(timeout=30.0)
+                    except queue_module.Empty:
+                        self._sse({"type": "ping"})
+                        continue
+                    self._sse(message)
+                    if message.get("type") == "done":
+                        break
+            except BrokenPipeError:
+                pass
+            finally:
+                with watch_lock:
+                    if client in watch_clients:
+                        watch_clients.remove(client)
 
         def _run_sse(self, params):
             if studio.scene is None:
@@ -728,6 +770,7 @@ def create_server(document_path=None, host="127.0.0.1", port=8567):
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.studio = studio  # exposed for tests
+    server.watch_broadcast = watch_broadcast  # CLI --watch producer hook
     return server
 
 

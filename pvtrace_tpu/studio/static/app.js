@@ -1029,9 +1029,15 @@ function run() {
     max_paths: "200",
   });
   if ($("seed").value) params.set("seed", $("seed").value);
+  attachRunStream(`/api/run?${params}`);
+}
+
+// Shared SSE consumer: `run()` drives /api/run; CLI `simulate --watch`
+// pushes the same message stream through /api/watch.
+function attachRunStream(url) {
   state.paths = [];
   setRunning(true);
-  eventSource = new EventSource(`/api/run?${params}`);
+  eventSource = new EventSource(url);
   eventSource.onmessage = (event) => {
     const message = JSON.parse(event.data);
     if (message.type === "started") {
@@ -1098,6 +1104,10 @@ async function boot() {
   const data = await api("GET", "/api/document");
   $("editor").value = data.text;
   if (data.text) await applyDocument(data.text);
+
+  // CLI `simulate --watch` live view: subscribe to the broadcast feed.
+  if (new URLSearchParams(location.search).get("watch"))
+    attachRunStream("/api/watch");
 }
 
 boot();

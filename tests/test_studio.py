@@ -297,3 +297,47 @@ def test_mesh_triangles_in_scene_payload(tmp_path):
     assert len(tetra["triangles"]) == 4 * 9  # 4 faces x 3 verts x xyz
     box = next(n for n in payload["nodes"] if n["name"] == "world")
     assert box["triangles"] is None
+
+
+def test_watch_sse_broadcast(server):
+    """CLI `simulate --watch` parity: an external producer pushes run
+    messages through server.watch_broadcast and every /api/watch client
+    receives them as SSE (reference's live monitor thread,
+    reference cli/main.py:85-161)."""
+    import time
+
+    base, httpd = server
+    messages = []
+
+    def consume():
+        req = urllib.request.urlopen(f"{base}/api/watch", timeout=10)
+        for raw in req:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                payload = json.loads(line[6:])
+                messages.append(payload)
+                if payload.get("type") == "done":
+                    break
+
+    thread = threading.Thread(target=consume, daemon=True)
+    thread.start()
+    time.sleep(0.5)  # let the client register
+    httpd.watch_broadcast({"type": "started", "total": 10, "histograms": {}})
+    httpd.watch_broadcast(
+        {"type": "bundle", "traced": 10, "total": 10,
+         "rays_per_second": 1.0, "recorders": {}, "paths": []}
+    )
+    httpd.watch_broadcast({"type": "done", "elapsed": 0.1})
+    thread.join(timeout=10)
+    kinds = [m["type"] for m in messages]
+    assert kinds == ["started", "bundle", "done"], kinds
+
+
+def test_frontend_watch_mode():
+    app = os.path.join(
+        os.path.dirname(studio_server.__file__), "static", "app.js"
+    )
+    with open(app) as fh:
+        source = fh.read()
+    assert 'attachRunStream("/api/watch")' in source
+    assert 'get("watch")' in source
