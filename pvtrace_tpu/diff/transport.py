@@ -67,7 +67,7 @@ def resolve_pathwise_params(compiled, params):
 
 
 def fate_gradients(scene, num_rays, seed=None, wrt="components",
-                   pathwise=None, **kwargs):
+                   pathwise=None, bundle=16_000_000, center=True, **kwargs):
     """Full multi-bounce gradients of fate fractions from ONE run.
 
     Score-function (likelihood-ratio) estimator, accumulated on device
@@ -100,6 +100,15 @@ def fate_gradients(scene, num_rays, seed=None, wrt="components",
       direction/position tangents propagated photon-by-photon through
       every deterministic reflection and refraction.
 
+    ``bundle`` caps the photons per device call: large runs stream in
+    exact-union bundles and the [fate, channel] score sums accumulate in
+    float64 on the host — at 10^8 photons a single f32 on-device
+    accumulator reaches ~10^7 magnitude where per-step adds of O(10)
+    fall below the ulp and quantize away. ``center=True`` subtracts the
+    zero-expectation control variate p_fate * mean(score): E[score] = 0
+    over the path measure, so centring is unbiased and removes the
+    common-mode score noise shared by every fate.
+
     kwargs pass through to ``engine.simulate`` (lanes, dtype, ...).
     """
     from pvtrace_tpu.engine.api import simulate
@@ -111,18 +120,37 @@ def fate_gradients(scene, num_rays, seed=None, wrt="components",
     pw = (
         resolve_pathwise_params(compiled, pathwise) if pathwise else ()
     )
-    result = simulate(
-        scene, num_rays, seed=seed, record_every=0, score=True,
-        pathwise=pw, compiled=compiled, **kwargs
-    )
-    scores = np.asarray(result.data["fate_scores"], dtype=np.float64)
-    n_comps = int(result.compiled.n_components)
-    n_nodes = len(result.compiled.nodes)
-    scores = _slice_channels(scores, n_comps, wrt, n_nodes=n_nodes)
-    fates = np.asarray(result.data["fates"], dtype=np.float64)
+    if seed is None:
+        seed = int(np.random.randint(0, 2 ** 31 - 1))
+
+    n_comps = int(compiled.n_components)
+    n_nodes = len(compiled.nodes)
+    scores_sum = None
+    fates_sum = None
+    traced = 0
+    while traced < num_rays:
+        n_call = (
+            num_rays - traced if not bundle else min(bundle, num_rays - traced)
+        )
+        result = simulate(
+            scene, n_call, seed=seed, index_offset=traced, record_every=0,
+            score=True, pathwise=pw, compiled=compiled, **kwargs
+        )
+        part = np.asarray(result.data["fate_scores"], dtype=np.float64)
+        fate_part = np.asarray(result.data["fates"], dtype=np.float64)
+        scores_sum = part if scores_sum is None else scores_sum + part
+        fates_sum = fate_part if fates_sum is None else fates_sum + fate_part
+        traced += n_call
+
+    scores = _slice_channels(scores_sum, n_comps, wrt, n_nodes=n_nodes)
+    if center:
+        # Unbiased control variate: subtract p_fate * (sum of all path
+        # scores) — zero in expectation, correlated with the noise.
+        total_score = scores.sum(axis=0, keepdims=True)
+        scores = scores - fates_sum[:, None] / num_rays * total_score
     fractions, gradients = {}, {}
     for event in (Event.EXIT, Event.NONRADIATIVE, Event.REACT, Event.KILL):
-        fractions[event] = fates[event.value] / num_rays
+        fractions[event] = fates_sum[event.value] / num_rays
         gradients[event] = scores[event.value] / num_rays
     return fractions, gradients
 
@@ -258,12 +286,57 @@ def absorbed_fraction_fn(compiled):
     return weight
 
 
+def optimize_concentration(scene_builder, target, num_rays=200_000,
+                           iters=6, lr=4.0, seed=0, component=0,
+                           event=None, verbose=False, **kwargs):
+    """Host-loop gradient descent on log(dye concentration) using the
+    UNBIASED multi-bounce score estimator (no straight-line surrogate).
+
+    `scene_builder(scale)` must rebuild the scene with every absorbing
+    coefficient of the target component multiplied by `scale`. Each
+    iteration traces `num_rays` on the device, reads P(fate) and
+    dP/dlog(scale) from one score run, and descends the squared error
+    to `target`. Rebuilding the scene re-bakes the compiled tables, so
+    each iteration pays one compile — use `make_training_step` when you
+    want a fully jitted per-step update and can accept its straight-line
+    first-pass surrogate.
+
+    Returns (log_scale, history) with history rows
+    (log_scale, fraction, loss).
+    """
+    if event is None:
+        event = Event.NONRADIATIVE
+    log_scale = 0.0
+    history = []
+    for i in range(iters):
+        scene = scene_builder(float(np.exp(log_scale)))
+        fractions, gradients = fate_gradients(
+            scene, num_rays, seed=seed + i, **kwargs
+        )
+        p = float(fractions[event])
+        g = float(gradients[event][component])
+        loss = (p - target) ** 2
+        history.append((log_scale, p, loss))
+        if verbose:
+            print(f"iter {i}: log_scale={log_scale:+.4f} "
+                  f"P={p:.4f} loss={loss:.6f}")
+        log_scale -= lr * 2.0 * (p - target) * g
+    return log_scale, history
+
+
 def make_training_step(compiled, mesh, axis_name="photons", target=0.8,
                        lr=0.1):
     """Jitted multi-chip SGD step on the dye concentration.
 
     fn(params, pos, dir, wav, key) -> (new_params, loss); the photon
     batch is sharded over `mesh`, gradients psum-reduced.
+
+    NOTE: the loss differentiates the smooth first-pass straight-line
+    Beer-Lambert surrogate (`absorbed_fraction_fn`) — exact for
+    index-matched scenes, systematically biased when refraction bends
+    rays (e.g. the n=1.5 LSC). For unbiased multi-bounce gradients use
+    `fate_gradients` / `optimize_concentration`, which pay one compile
+    per concentration value instead of being fully jitted.
     """
     weight = absorbed_fraction_fn(compiled)
     n_dev = mesh.devices.size

@@ -10,21 +10,23 @@ import numpy as np
 from pvtrace_tpu.geometry.utils import allinrange
 
 
+def _scalarise(values):
+    """Return a python float for size-1 results, the array otherwise."""
+    if np.size(values) == 1:
+        return float(np.asarray(values).ravel()[0])
+    return values
+
+
 class Distribution(object):
-    """Statistical distribution over a wavelength grid."""
+    """Statistical distribution over a wavelength grid.
+
+    Two sampling modes share one API: interpolation mode treats `y` as
+    vertex values with a trapezoid-rule CDF; histogram mode (`hist=True`)
+    treats `y` as bin counts with a step CDF and no interpolation. A
+    scalar `y` with `x=None` is a wavelength-independent constant.
+    """
 
     def __init__(self, x, y, hist=False):
-        """Parameters
-        ----------
-        x : array-like or None
-            Ascending grid values. None together with a float `y` makes a
-            constant distribution.
-        y : array-like or float
-            Values at the grid points (vertex values; treated as bin
-            counts when `hist` is True).
-        hist : bool
-            Sample as a histogram (no interpolation) when True.
-        """
         self.hist = hist
         if x is None and isinstance(y, (float, int)):
             self._x = None
@@ -41,18 +43,28 @@ class Distribution(object):
             raise ValueError(
                 "Distributions are like histograms all counts must be positive."
             )
-        self._x_range = (float(np.min(x)), float(np.max(x)))
         self._x = x
         self._y = y
+        self._x_range = (float(x[0]), float(x[-1]))
         if hist:
             cdf = np.cumsum(y, dtype=float)
-            cdf *= 1.0 / cdf[-1]
-            self._cdf = cdf
+            self._cdf = cdf / cdf[-1]
+            # Right edge of the last bin mirrors the final grid spacing.
             self._edges = np.append(x, 2 * x[-1] - x[-2])
         else:
-            cdf = np.cumsum((y[:-1] + y[1:]) * 0.5)
-            cdf = cdf / np.max(cdf)
-            self._cdf = np.concatenate([[0.0], cdf])
+            # Trapezoid-rule cumulative integral, normalised to 1.
+            areas = 0.5 * (y[:-1] + y[1:])
+            cdf = np.cumsum(areas)
+            self._cdf = np.concatenate([[0.0], cdf / np.max(cdf)])
+
+    def _check_domain(self, x):
+        if not allinrange(x, self._x_range):
+            raise ValueError(
+                "x is outside data range.", {"x": x, "x_range": self._x_range}
+            )
+
+    def _bin_of(self, x):
+        return np.searchsorted(self._edges[:-1], x)
 
     def __call__(self, x):
         """Value of the distribution at `x` (interpolated or histogram)."""
@@ -60,44 +72,32 @@ class Distribution(object):
             if isinstance(x, (list, tuple, np.ndarray)):
                 return np.zeros(len(x)) + self._y
             return self._y
-        if not allinrange(x, self._x_range):
-            raise ValueError(
-                "x is outside data range.", {"x": x, "x_range": self._x_range}
-            )
+        self._check_domain(x)
         if self.hist:
-            idx = np.searchsorted(self._edges[:-1], x)
-            return self._y[idx]
+            return self._y[self._bin_of(x)]
         return np.interp(x, self._x, self._y, left=np.nan, right=np.nan)
 
     def lookup(self, x):
         """CDF probability corresponding to the value `x`."""
-        if not allinrange(x, self._x_range):
-            raise ValueError(
-                "x is outside data range.", {"x": x, "x_range": self._x_range}
-            )
+        self._check_domain(x)
         if self.hist:
-            idx = np.searchsorted(self._edges[:-1], x)
-            return self._cdf[idx]
-        prob = np.interp(x, self._x, self._cdf, left=np.nan, right=np.nan)
-        if np.size(prob) == 1:
-            return float(prob)
-        return prob
+            return self._cdf[self._bin_of(x)]
+        return _scalarise(
+            np.interp(x, self._x, self._cdf, left=np.nan, right=np.nan)
+        )
 
     def sample(self, p):
         """Inverse-CDF sample: x-value corresponding to probability `p`."""
         if not allinrange(p, (0.0, 1.0)):
             raise ValueError("p is outside valid range.")
         if self.hist:
-            idx = np.searchsorted(self._cdf, p)
-            idx = np.minimum(idx, len(self._x) - 1)
-            result = self._x[idx]
-            if np.size(result) == 1:
-                return float(np.asarray(result).ravel()[0])
-            return result
-        xval = np.interp(p, self._cdf, self._x, left=np.nan, right=np.nan)
-        if np.size(xval) == 1:
-            return float(xval)
-        return xval
+            pick = np.minimum(
+                np.searchsorted(self._cdf, p), len(self._x) - 1
+            )
+            return _scalarise(self._x[pick])
+        return _scalarise(
+            np.interp(p, self._cdf, self._x, left=np.nan, right=np.nan)
+        )
 
     @classmethod
     def from_functions(cls, x, callables, hist=False):
@@ -105,9 +105,9 @@ class Distribution(object):
         x = np.asarray(x, dtype=float)
         if x.ndim != 1:
             raise ValueError("Requires a 1D array.")
-        y = np.zeros(len(x))
-        for f in callables:
-            y_ = np.asarray(f(x), dtype=float)
-            y_[~np.isfinite(y_)] = 0.0
-            y += y_
-        return cls(x=x, y=y, hist=hist)
+        total = np.zeros(len(x))
+        for fn in callables:
+            contribution = np.asarray(fn(x), dtype=float)
+            contribution[~np.isfinite(contribution)] = 0.0
+            total = total + contribution
+        return cls(x=x, y=total, hist=hist)
