@@ -33,12 +33,7 @@ def scene_with_recorders(n_rec):
             f"r{i:03d}",
             event=event,
             facet=faces[i % len(faces)] if event != "lost" else None,
-            histograms=[
-                Histogram(
-                    f"r{i:03d}_wav", "wavelength",
-                    start=400.0, stop=800.0, bins=50,
-                )
-            ],
+            histograms=[Histogram("wavelength", 400.0, 800.0, 50)],
         )
         recs.append(rec)
     lsc.recorders = recs
@@ -54,7 +49,7 @@ def main():
     for n_rec in (0, 4, 32, 128, 256):
         scene = scene_with_recorders(n_rec)
         tic = time.perf_counter()
-        engine.simulate(scene, 200_000, seed=1, record_every=0)
+        engine.simulate(scene, 2_000_000, seed=1, record_every=0)
         compile_s = time.perf_counter() - tic
         tic = time.perf_counter()
         res = engine.simulate(scene, n, seed=2, record_every=0)

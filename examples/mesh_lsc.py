@@ -145,7 +145,9 @@ def main():
 
     import time
 
-    engine.simulate(scene, 100_000, seed=1, record_every=0)  # compile
+    # Warm with a >= 2^19-photon budget so the compiled program (lane
+    # width = min(n, 2^19)) is the same one the timed run uses.
+    engine.simulate(scene, min(n, 2_000_000), seed=1, record_every=0)
     tic = time.perf_counter()
     result = engine.simulate(scene, n, seed=7, record_every=0)
     dt = time.perf_counter() - tic

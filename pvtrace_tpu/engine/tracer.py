@@ -372,17 +372,36 @@ def _mesh_nearest_two(mesh_consts, o, d, eps):
     face normal) — unlike the oracle there is no shared-edge hit
     dedup, a measure-zero event for Monte-Carlo rays.
     """
-    V0, E1, E2, FN = mesh_consts
+    V0h, E1h, E2h, FNh = (np.asarray(a) for a in mesh_consts)
     ox, oy, oz = o
     dxv, dyv, dzv = d
-    T = V0.shape[0]
+    T = V0h.shape[0]
     inf = jnp.full_like(ox, _INF)
+    # Small meshes unroll with scalar program constants: a traced
+    # fori_loop keeps XLA from fusing the per-triangle bodies (each trip
+    # gathers its constants dynamically) and measured ~45x slower per
+    # step than the box path at T=26. Unrolled, the 26-triangle hex
+    # plate runs at wavefront speed; big meshes keep the O(1)-program
+    # fori_loop.
+    unroll = T <= 96
+    if not unroll:
+        V0 = jnp.asarray(V0h)
+        E1 = jnp.asarray(E1h)
+        E2 = jnp.asarray(E2h)
+        FN = jnp.asarray(FNh)
 
     def tri(t, carry):
         t1, t2, cnt, nx, ny, nz = carry
-        a0, a1, a2 = V0[t, 0], V0[t, 1], V0[t, 2]
-        e10, e11, e12 = E1[t, 0], E1[t, 1], E1[t, 2]
-        e20, e21, e22 = E2[t, 0], E2[t, 1], E2[t, 2]
+        if unroll:
+            a0, a1, a2 = (float(V0h[t, i]) for i in range(3))
+            e10, e11, e12 = (float(E1h[t, i]) for i in range(3))
+            e20, e21, e22 = (float(E2h[t, i]) for i in range(3))
+            fn0, fn1, fn2 = (float(FNh[t, i]) for i in range(3))
+        else:
+            a0, a1, a2 = V0[t, 0], V0[t, 1], V0[t, 2]
+            e10, e11, e12 = E1[t, 0], E1[t, 1], E1[t, 2]
+            e20, e21, e22 = E2[t, 0], E2[t, 1], E2[t, 2]
+            fn0, fn1, fn2 = FN[t, 0], FN[t, 1], FN[t, 2]
         pvx = dyv * e22 - dzv * e21
         pvy = dzv * e20 - dxv * e22
         pvz = dxv * e21 - dyv * e20
@@ -406,9 +425,9 @@ def _mesh_nearest_two(mesh_consts, o, d, eps):
         isfirst = tv < t1
         issecond = ~isfirst & (tv < t2)
         t2 = jnp.where(isfirst, t1, jnp.where(issecond, tv, t2))
-        nx = jnp.where(isfirst, FN[t, 0], nx)
-        ny = jnp.where(isfirst, FN[t, 1], ny)
-        nz = jnp.where(isfirst, FN[t, 2], nz)
+        nx = jnp.where(isfirst, fn0, nx)
+        ny = jnp.where(isfirst, fn1, ny)
+        nz = jnp.where(isfirst, fn2, nz)
         t1 = jnp.where(isfirst, tv, t1)
         cnt = cnt + hit.astype(jnp.int32)
         return (t1, t2, cnt, nx, ny, nz)
@@ -417,6 +436,11 @@ def _mesh_nearest_two(mesh_consts, o, d, eps):
         inf, inf, jnp.zeros(ox.shape, jnp.int32),
         jnp.zeros_like(ox), jnp.zeros_like(ox), jnp.ones_like(ox),
     )
+    if unroll:
+        carry = init
+        for t in range(T):
+            carry = tri(t, carry)
+        return carry
     return jax.lax.fori_loop(0, T, tri, init)
 
 
@@ -622,20 +646,39 @@ def _tally(tallies, compiled, cfg, sel, tnode, have_normal, wnormal3, lpos3,
         0: wavelength, 1: angle, 2: duration, 3: travelled,
         4: lpos3[0], 5: lpos3[1], 6: lpos3[2],
     }
+    # Histogram binning WITHOUT scatters. A [B]-wide scatter-add costs
+    # ~16 ns/element on TPU (measured: 4 single-histogram recorders
+    # added 33 ms/step at 2^19 lanes, linear in the spec count, and the
+    # runtime fell over near the 256-recorder ceiling). Instead each
+    # spec builds a one-hot bin matrix and reduces it on the MXU:
+    #   1D:      counts[k]    = sum_b mask[b] * onehot_a[b, k]
+    #   heatmap: counts[j, k] = sum_b (mask*onehot_a)[b, j] * onehot_b[b, k]
+    # and the result lands in the flat bins array via a STATIC slice
+    # add. bf16 one-hot inputs with f32 accumulation are exact (values
+    # are 0/1; counts < 2^24).
+    def onehot(values, lo, hi, n_bins, mask):
+        idx = jnp.floor((values - lo) / (hi - lo) * n_bins).astype(jnp.int32)
+        ok = mask & (idx >= 0) & (idx < n_bins)
+        idx = jnp.where(ok, idx, n_bins)  # out-of-range -> dropped column
+        hot = idx[:, None] == jnp.arange(n_bins, dtype=jnp.int32)[None, :]
+        return hot.astype(jnp.bfloat16)
+
     for (r, prop_a, prop_b, na, nb, lo_a, hi_a, lo_b, hi_b, offset) in cfg.hist_specs:
         new = m[:, r] & ~seen0[:, r]
-        va = props[prop_a]
-        ia = jnp.floor((va - lo_a) / (hi_a - lo_a) * na).astype(jnp.int32)
-        ok = new & (ia >= 0) & (ia < na)
+        hot_a = onehot(props[prop_a], lo_a, hi_a, na, new)
         if prop_b < 0:
-            flat = offset + ia
+            counts = jnp.matmul(
+                new.astype(jnp.bfloat16)[None, :], hot_a,
+                preferred_element_type=jnp.float32,
+            )[0]
+            span = na
         else:
-            vb = props[prop_b]
-            ib = jnp.floor((vb - lo_b) / (hi_b - lo_b) * nb).astype(jnp.int32)
-            ok = ok & (ib >= 0) & (ib < nb)
-            flat = offset + ia * nb + ib
-        idx = jnp.where(ok, flat, cfg.total_bins)
-        bins = bins.at[idx].add(1)
+            hot_b = onehot(props[prop_b], lo_b, hi_b, nb, new)
+            counts = jnp.matmul(
+                hot_a.T, hot_b, preferred_element_type=jnp.float32
+            ).ravel()
+            span = na * nb
+        bins = bins.at[offset:offset + span].add(counts.astype(bins.dtype))
     out = dict(tallies)
     out["seen"] = seen
     out["distinct"] = distinct
@@ -964,8 +1007,10 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
     comp_nodes = [n for n in range(N) if node_static[n][2] > 0]
     # Triangle tables baked as program constants (meshes here are small;
     # reference docs note trimesh is single-precision anyway)
+    # Host copies; _mesh_nearest_two bakes them as scalar constants
+    # (small meshes) or device constants (fori_loop path).
     mesh_consts = {
-        n: tuple(jnp.asarray(a, f) for a in compiled.mesh_data[n])
+        n: tuple(np.asarray(a, dtype=f) for a in compiled.mesh_data[n])
         for n in compiled.mesh_data
     }
 
