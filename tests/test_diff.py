@@ -440,3 +440,42 @@ def test_pathwise_geometry_gradient_matches_analytic():
     assert abs(gr2[Event.NONRADIATIVE][0] - expect_f) < 0.005, (
         gr2[Event.NONRADIATIVE][0], expect_f,
     )
+
+
+def test_pathwise_gradients_survive_regeneration_and_streaming():
+    """Pathwise channels are pure functions of (seed, photon id): lane
+    regeneration and exact-union streaming must not change the
+    estimate (same contract as the tallies)."""
+    scene = tilted_fresnel_slab()
+    N = 20_000
+    kw = dict(
+        wrt="pathwise", pathwise=[("n", "slab")], dtype=np.float64, seed=9,
+    )
+    f_full, g_full = fate_gradients(scene, N, bundle=None, **kw)
+    f_regen, g_regen = fate_gradients(scene, N, bundle=None, lanes=2048, **kw)
+    f_stream, g_stream = fate_gradients(scene, N, bundle=5_000, **kw)
+    for event in (Event.EXIT, Event.NONRADIATIVE):
+        assert f_full[event] == f_regen[event] == f_stream[event]
+        np.testing.assert_allclose(
+            g_regen[event], g_full[event], rtol=0, atol=1e-9
+        )
+        np.testing.assert_allclose(
+            g_stream[event], g_full[event], rtol=0, atol=1e-9
+        )
+
+
+def test_score_centering_is_unbiased_on_analytic_slab():
+    """Centering subtracts p_fate * mean(score) (zero expectation): the
+    analytic slab gradient must be unchanged within noise but the
+    EXIT/NONRADIATIVE rows must be exact negatives of each other."""
+    alpha, L = 0.8, 1.0
+    N = 60_000
+    _, grads = fate_gradients(
+        slab_scene(alpha), N, seed=7, dtype=np.float64, center=True
+    )
+    dp_dlog = alpha * L * np.exp(-alpha * L)
+    assert abs(grads[Event.NONRADIATIVE][0] - dp_dlog) < 0.03
+    # exact probability conservation after centering (two-fate scene)
+    np.testing.assert_allclose(
+        grads[Event.NONRADIATIVE][0], -grads[Event.EXIT][0], atol=1e-12
+    )
