@@ -53,29 +53,32 @@ class NullSurfaceDelegate(SurfaceDelegate):
         return ray.direction
 
 
+def _interface(ray, geometry, container, adjacent):
+    """(n1, n2, outgoing-oriented normal) for an interaction: indices of
+    the medium the ray is in and the one behind the surface, with the
+    surface normal flipped (if needed) to point along the ray."""
+    n1 = container.geometry.material.refractive_index
+    n2 = adjacent.geometry.material.refractive_index
+    normal = geometry.normal(ray.position)
+    if np.dot(normal, ray.direction) < 0.0:
+        normal = flip(normal)  # tolerate either orientation convention
+    return n1, n2, normal
+
+
 class FresnelSurfaceDelegate(SurfaceDelegate):
     """Fresnel reflection and Snell refraction."""
 
     def reflectivity(self, surface, ray, geometry, container, adjacent):
-        n1 = container.geometry.material.refractive_index
-        n2 = adjacent.geometry.material.refractive_index
-        normal = geometry.normal(ray.position)
-        # Tolerate either normal orientation convention
-        if np.dot(normal, ray.direction) < 0.0:
-            normal = flip(normal)
-        angle = angle_between(normal, np.asarray(ray.direction))
-        return float(fresnel_reflectivity(angle, n1, n2))
+        n1, n2, normal = _interface(ray, geometry, container, adjacent)
+        incidence = angle_between(normal, np.asarray(ray.direction))
+        return float(fresnel_reflectivity(incidence, n1, n2))
 
     def reflected_direction(self, surface, ray, geometry, container, adjacent):
         normal = geometry.normal(ray.position)
         return tuple(specular_reflection(ray.direction, normal).tolist())
 
     def transmitted_direction(self, surface, ray, geometry, container, adjacent):
-        n1 = container.geometry.material.refractive_index
-        n2 = adjacent.geometry.material.refractive_index
-        normal = geometry.normal(ray.position)
-        if np.dot(normal, ray.direction) < 0.0:
-            normal = flip(normal)
+        n1, n2, normal = _interface(ray, geometry, container, adjacent)
         return tuple(fresnel_refraction(ray.direction, normal, n1, n2).tolist())
 
 
@@ -207,31 +210,31 @@ class Surface(BaseSurface):
         return self._delegate
 
     def is_reflected(self, ray, geometry, container, adjacent):
+        """Coin flip against the delegate's reflectivity.
+
+        R = 0 short-circuits WITHOUT consuming a uniform (part of the
+        draw-order contract: null surfaces are draw-free)."""
         r = self.delegate.reflectivity(self, ray, geometry, container, adjacent)
         if not isinstance(r, (int, float)):
             raise ValueError("Reflectivity must be a number.")
-        if r == 0.0:
-            return False
-        return np.random.uniform() < r
+        return r != 0.0 and np.random.uniform() < r
+
+    def _redirect(self, method_name, ray, geometry, container, adjacent):
+        method = getattr(self.delegate, method_name)
+        direction = method(self, ray, geometry, container, adjacent)
+        if not isinstance(direction, tuple) or len(direction) != 3:
+            raise ValueError(
+                f"Delegate method `{method_name}` should return a tuple "
+                "of length 3."
+            )
+        return replace(ray, direction=direction)
 
     def reflect(self, ray, geometry, container, adjacent):
-        direction = self.delegate.reflected_direction(
-            self, ray, geometry, container, adjacent
+        return self._redirect(
+            "reflected_direction", ray, geometry, container, adjacent
         )
-        if not isinstance(direction, tuple) or len(direction) != 3:
-            raise ValueError(
-                "Delegate method `reflected_direction` should return a tuple "
-                "of length 3."
-            )
-        return replace(ray, direction=direction)
 
     def transmit(self, ray, geometry, container, adjacent):
-        direction = self.delegate.transmitted_direction(
-            self, ray, geometry, container, adjacent
+        return self._redirect(
+            "transmitted_direction", ray, geometry, container, adjacent
         )
-        if not isinstance(direction, tuple) or len(direction) != 3:
-            raise ValueError(
-                "Delegate method `transmitted_direction` should return a tuple "
-                "of length 3."
-            )
-        return replace(ray, direction=direction)
