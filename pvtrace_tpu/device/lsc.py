@@ -106,103 +106,97 @@ class LSC(object):
 
     # -- defaults ------------------------------------------------------
 
-    def _make_default_components(self):
-        """Lumogen F Red 305 at peak absorption 10 cm^-1 plus a
-        0.1 cm^-1 background absorber (reference lsc.py:115-133)."""
-        x = self.wavelength_range
-        coefficient = lumogen_f_red_305.absorption(x) * 10.0  # cm-1
-        emission = lumogen_f_red_305.emission(x)
-        lumogen = {
-            "cls": Luminophore,
-            "name": "Lumogen F Red 305",
-            "coefficient": np.column_stack((x, coefficient)),
-            "emission": np.column_stack((x, emission)),
-            "quantum_yield": 1.0,
-            "phase_function": None,
-        }
-        background = {"cls": Absorber, "coefficient": 0.1, "name": "Background"}
-        return [lumogen, background]
+    def _default_recipe(self):
+        """Register the reference defaults when the user added nothing:
+        Lumogen F Red 305 at peak absorption 10 cm^-1 + a 0.1 cm^-1
+        background absorber (reference lsc.py:115-133), lit by a 555 nm
+        20-degree cone spotlight above the top face."""
+        if not self._user_components:
+            grid = self.wavelength_range
+            self.add_luminophore(
+                "Lumogen F Red 305",
+                np.column_stack((grid, 10.0 * lumogen_f_red_305.absorption(grid))),
+                np.column_stack((grid, lumogen_f_red_305.emission(grid))),
+                quantum_yield=1.0,
+            )
+            self.add_absorber("Background", 0.1)
+        if not self._user_lights:
+            self.add_light(
+                "Light",
+                location=(0.0, 0.0, self.size[-1] * 5),
+                rotation=(np.radians(180), (1, 0, 0)),
+                direction=functools.partial(cone, np.radians(20)),
+            )
 
-    def _make_default_lights(self):
-        """555 nm spotlight (20 degree cone) above the top surface."""
-        return [
-            {
-                "name": "Light",
-                "location": (0.0, 0.0, self.size[-1] * 5),
-                "rotation": (np.radians(180), (1, 0, 0)),
-                "direction": functools.partial(cone, np.radians(20)),
-                "wavelength": None,
-                "position": None,
+    def _instantiate_components(self):
+        built = []
+        for spec in self._user_components:
+            params = {
+                k: v for k, v in spec.items() if k not in ("cls", "coefficient")
             }
-        ]
+            if params.get("phase_function", "?") is None:
+                del params["phase_function"]
+            built.append(spec["cls"](spec["coefficient"], **params))
+        return built
+
+    def _attach_air_gap_mirror(self, world):
+        length, width, depth = self.size
+        sheet = 0.25 * depth
+        mirror = Node(
+            name="Air Gap Mirror",
+            parent=world,
+            geometry=Box(
+                (length, width, sheet),
+                material=Material(
+                    refractive_index=self.n0,
+                    components=[],
+                    surface=Surface(delegate=AirGapMirror(self)),
+                ),
+            ),
+        )
+        mirror.translate((0.0, 0.0, -(0.5 * depth + sheet)))
+
+    def _attach_lights(self, world):
+        for spec in self._user_lights:
+            source = Light(
+                name=spec["name"],
+                direction=spec["direction"],
+                wavelength=spec["wavelength"],
+                position=spec["position"],
+            )
+            holder = Node(name=spec["name"], light=source, parent=world)
+            holder.location = spec["location"]
+            if spec["rotation"]:
+                holder.rotate(*spec["rotation"])
 
     def _make_scene(self):
-        (l, w, d) = self.size
+        """World box 100x the plate (reference lsc.py:148-219), the LSC
+        box with its components and the mirror/cell surface delegate,
+        optional air-gap mirror sheet, then the lights."""
+        length, width, depth = self.size
+        self._default_recipe()
         world = Node(
             name="World",
             geometry=Box(
-                (l * 100, w * 100, d * 100),
+                (length * 100, width * 100, depth * 100),
                 material=Material(refractive_index=self.n0),
             ),
         )
-
-        if len(self._user_components) == 0:
-            self._user_components = self._make_default_components()
-        components = []
-        for component_data in self._user_components:
-            data = dict(component_data)
-            cls = data.pop("cls")
-            coefficient = data.pop("coefficient")
-            name = data.pop("name")
-            if cls is Luminophore and data.get("phase_function") is None:
-                data.pop("phase_function", None)
-            components.append(cls(coefficient, name=name, **data))
-
-        lsc = Node(
+        Node(
             name="LSC",
+            parent=world,
             geometry=Box(
-                (l, w, d),
+                (length, width, depth),
                 material=Material(
                     refractive_index=self.n1,
-                    components=components,
+                    components=self._instantiate_components(),
                     surface=Surface(delegate=OptionalMirrorAndSolarCell(self)),
                 ),
             ),
-            parent=world,
         )
-
         if self._air_gap_mirror_info["want_air_gap_mirror"]:
-            sheet_thickness = 0.25 * d
-            air_gap_mirror = Node(
-                name="Air Gap Mirror",
-                geometry=Box(
-                    (l, w, sheet_thickness),
-                    material=Material(
-                        refractive_index=self.n0,
-                        components=[],
-                        surface=Surface(delegate=AirGapMirror(self)),
-                    ),
-                ),
-                parent=world,
-            )
-            air_gap_mirror.translate((0.0, 0.0, -(0.5 * d + sheet_thickness)))
-
-        if len(self._user_lights) == 0:
-            self._user_lights = self._make_default_lights()
-
-        for light_data in self._user_lights:
-            name = light_data["name"]
-            light = Light(
-                name=name,
-                direction=light_data["direction"],
-                wavelength=light_data["wavelength"],
-                position=light_data["position"],
-            )
-            light_node = Node(name=name, light=light, parent=world)
-            light_node.location = light_data["location"]
-            if light_data["rotation"]:
-                light_node.rotate(*light_data["rotation"])
-
+            self._attach_air_gap_mirror(world)
+        self._attach_lights(world)
         self._scene = Scene(world)
 
     # -- configuration -------------------------------------------------
@@ -217,33 +211,25 @@ class LSC(object):
             raise ValueError("Run a simulation before calling this method.")
         return {l["name"] for l in self._user_lights}
 
+    def _register_component(self, cls, name, coefficient, **extra):
+        self._user_components.append(
+            dict(cls=cls, name=name, coefficient=coefficient, **extra)
+        )
+
     def add_luminophore(
         self, name, coefficient, emission, quantum_yield, phase_function=None
     ):
-        self._user_components.append(
-            {
-                "cls": Luminophore,
-                "name": name,
-                "coefficient": coefficient,
-                "emission": emission,
-                "quantum_yield": quantum_yield,
-                "phase_function": phase_function,
-            }
+        self._register_component(
+            Luminophore, name, coefficient, emission=emission,
+            quantum_yield=quantum_yield, phase_function=phase_function,
         )
 
     def add_absorber(self, name, coefficient):
-        self._user_components.append(
-            {"cls": Absorber, "name": name, "coefficient": coefficient}
-        )
+        self._register_component(Absorber, name, coefficient)
 
     def add_scatterer(self, name, coefficient, phase_function=None):
-        self._user_components.append(
-            {
-                "cls": Scatterer,
-                "name": name,
-                "coefficient": coefficient,
-                "phase_function": phase_function,
-            }
+        self._register_component(
+            Scatterer, name, coefficient, phase_function=phase_function
         )
 
     def add_light(
@@ -256,14 +242,9 @@ class LSC(object):
         position=None,
     ):
         self._user_lights.append(
-            {
-                "name": name,
-                "location": location,
-                "rotation": rotation,
-                "direction": direction,
-                "wavelength": wavelength,
-                "position": position,
-            }
+            dict(name=name, location=location, rotation=rotation,
+                 direction=direction, wavelength=wavelength,
+                 position=position)
         )
 
     def add_solar_cell(self, facets):
