@@ -68,3 +68,21 @@ def test_lsc_notebook_executes(monkeypatch):
         resources={"metadata": {"path": EXAMPLES}},
     )
     client.execute()
+
+
+@pytest.mark.slow
+def test_gradients_notebook_executes(monkeypatch):
+    monkeypatch.setenv("PVTRACE_TPU_GRAD_N", "40000")
+    monkeypatch.setenv("MPLBACKEND", "Agg")
+    repo = os.path.dirname(EXAMPLES)
+    monkeypatch.setenv(
+        "PYTHONPATH",
+        repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    path = os.path.join(EXAMPLES, "gradients.ipynb")
+    nb = nbformat.read(path, as_version=4)
+    client = NotebookClient(
+        nb, timeout=1500, kernel_name="python3",
+        resources={"metadata": {"path": EXAMPLES}},
+    )
+    client.execute()
