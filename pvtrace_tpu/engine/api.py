@@ -7,6 +7,7 @@ bundles whose union is identical to one big call. The execution
 substrate is the JAX wavefront tracer instead of a Cython/OpenMP kernel.
 """
 import collections
+import os
 import time
 
 import numpy as np
@@ -252,10 +253,38 @@ class _RoundRobinSources:
         return self._names[(self._offset + i) % len(self._names)]
 
 
+_CACHE_ENABLED = False
+
+
+def _enable_persistent_cache():
+    """Persistent XLA compilation cache (measured 14.1s -> 1.1s for a
+    cross-process recompile over the TPU tunnel; scene programs cost
+    40-200s to compile). Opt out with PVTRACE_TPU_NO_CACHE=1; relocate
+    with PVTRACE_TPU_CACHE_DIR."""
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED or os.environ.get("PVTRACE_TPU_NO_CACHE"):
+        return
+    _CACHE_ENABLED = True
+    import jax
+
+    path = os.environ.get("PVTRACE_TPU_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "pvtrace_tpu", "xla"
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax without the persistent cache: compile as usual
+
+
 def _get_tracer(compiled, cfg, lanes=None):
     import jax
 
     from pvtrace_tpu.engine import tracer as tracer_module
+
+    _enable_persistent_cache()
 
     key = (compiled.content_digest, cfg, bool(compiled.lights_supported), lanes)
     fn = _TRACER_CACHE.get(key)
