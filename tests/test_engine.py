@@ -405,3 +405,42 @@ class TestMaxPathlength:
         scene, _box = make_fresnel_scene()
         result = engine.simulate(scene, 500, seed=5, record_every=0)
         assert Event.KILL not in result.fate_counts()
+
+
+def test_many_recorders_exact_vs_log():
+    """48 recorders (mixed facet filters, histograms and heatmaps) on
+    one node: the vectorized [B, R] tally must match tallies recomputed
+    from the event log exactly — guards the MXU histogram path and the
+    recorder-axis vectorization at a scale past every other test."""
+    scene, lsc = make_lsc_scene()
+    faces = [
+        (0, 0, 1), (0, 0, -1), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+    ]
+    events = ["escaping", "entering", "reflected"]
+    recs = []
+    for i in range(48):
+        event = events[i % 3]
+        hists = []
+        if i % 4 == 0:
+            hists = [Histogram("wavelength", 400, 800, 25)]
+        elif i % 4 == 1:
+            hists = [Heatmap("x", "y", (-2.5, 2.5, 6), (-2.5, 2.5, 6))]
+        recs.append(
+            Recorder(
+                f"m{i:02d}", event=event, facet=faces[i % 6],
+                histograms=hists,
+            )
+        )
+    lsc.recorders = recs
+    np.random.seed(6)
+    result = engine.simulate(scene, 250, seed=17, record_every=1,
+                             maxsteps=60)
+    oracle = tally_histories(scene, result.histories())
+    for name, rec in result.recorders.items():
+        expect = oracle[name]
+        assert rec.rays == expect.rays, name
+        assert rec.crossings == expect.crossings, name
+        for h in range(len(rec.spec.histograms)):
+            got = rec.histogram(h)[-1]
+            want = expect.histogram(h)[-1]
+            assert np.array_equal(got, want), (name, h)
