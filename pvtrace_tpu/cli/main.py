@@ -101,6 +101,11 @@ def cmd_simulate(args):
     rays = args.rays
     traced = 0
     if args.tracer == "python":
+        if watch_server:
+            print(
+                "note: --watch live tallies need the device engine; the "
+                "python tracer writes SQLite only", file=sys.stderr,
+            )
         histories = _python_histories(scene, rays, args.seed)
         for throw_id, history in enumerate(histories):
             write_history(cursor, throw_id, history)

@@ -403,7 +403,12 @@ def simulate(
     With `score=True` the tracer also accumulates score-function
     (likelihood-ratio) gradient sums: `result.data["fate_scores"][f, c]`
     such that d(fraction of fate f)/d log(scale of component c) =
-    fate_scores[f, c] / num_rays. See `pvtrace_tpu.diff.transport`.
+    fate_scores[f, c] / num_rays. `pathwise` appends hybrid
+    tangent-propagation channels for refractive-index and geometry
+    parameters (tracer-level specs — use
+    `diff.transport.resolve_pathwise_params` / `fate_gradients` for the
+    name-based API). See `pvtrace_tpu.diff.transport` and
+    docs/GRADIENTS.md.
     """
     import jax
     import jax.numpy as jnp
