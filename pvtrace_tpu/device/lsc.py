@@ -279,7 +279,8 @@ class LSC(object):
 
     # -- simulation ----------------------------------------------------
 
-    def gradient(self, n=200_000, seed=None, component=None):
+    def gradient(self, n=200_000, seed=None, component=None,
+                 wrt="concentration"):
         """Monte-Carlo gradient of the optical efficiency (north star).
 
         Returns d(optical efficiency) / d log(coefficient scale) of
@@ -298,6 +299,12 @@ class LSC(object):
         filters by source. Requires solar cells (``add_solar_cell``).
 
         Returns dict(optical_efficiency, gradient, component).
+
+        ``wrt`` selects the parameter: ``"concentration"`` (default —
+        d/dlog of `component`'s coefficient scale), ``"n"`` (the plate's
+        refractive index, hybrid pathwise estimator with the Snell
+        term), or ``"length"``/``"width"``/``"thickness"`` (plate
+        dimensions in cm via the geometry tangent channels).
         """
         if not self._solar_cell_surfaces:
             raise ValueError(
@@ -329,6 +336,25 @@ class LSC(object):
             # 1e-3 gradient target needs.
             if seed is None:
                 seed = int(np.random.randint(0, 2 ** 31 - 1))
+            pathwise = ()
+            if wrt in ("n", "refractive_index", "n1"):
+                pathwise = (("n", "LSC"),)
+            elif wrt in ("thickness", "width", "length"):
+                axis = {"length": 0, "width": 1, "thickness": 2}[wrt]
+                pathwise = (("size", "LSC", axis),)
+            elif wrt != "concentration":
+                raise ValueError(
+                    "wrt must be 'concentration', 'n' or one of "
+                    f"'length'/'width'/'thickness'; got {wrt!r}"
+                )
+            if pathwise:
+                from pvtrace_tpu.diff.transport import (
+                    resolve_pathwise_params,
+                )
+                from pvtrace_tpu.engine.compiler import compile_scene
+
+                compiled = compile_scene(scene)
+                pathwise = resolve_pathwise_params(compiled, pathwise)
             bundle = 16_000_000
             distinct = None
             scores = None
@@ -337,7 +363,7 @@ class LSC(object):
                 n_call = min(bundle, n - traced)
                 result = simulate(
                     scene, n_call, seed=seed, index_offset=traced,
-                    record_every=0, score=True,
+                    record_every=0, score=True, pathwise=pathwise,
                 )
                 d_part = np.asarray(result.data["rec_distinct"], dtype=float)
                 s_part = np.asarray(result.data["rec_scores"], dtype=float)
@@ -348,12 +374,17 @@ class LSC(object):
             lsc_node.recorders = saved
 
         comp_names = list(result.compiled.component_names)
-        if component is None:
-            component = next(
-                data["name"] for data in self._user_components
-                if data["cls"] is Luminophore
-            )
-        channel = comp_names.index(component)
+        if pathwise:
+            # Pathwise channels append after component + node blocks.
+            channel = len(comp_names) + len(result.compiled.nodes)
+            component = wrt
+        else:
+            if component is None:
+                component = next(
+                    data["name"] for data in self._user_components
+                    if data["cls"] is Luminophore
+                )
+            channel = comp_names.index(component)
 
         order = [spec.name for spec in result.compiled.recorder_specs]
         cell_rows = [order.index(f"__cell_{facet}") for facet in cells]

@@ -479,3 +479,64 @@ def test_score_centering_is_unbiased_on_analytic_slab():
     np.testing.assert_allclose(
         grads[Event.NONRADIATIVE][0], -grads[Event.EXIT][0], atol=1e-12
     )
+
+
+def test_lsc_gradient_parameter_channels(monkeypatch):
+    """LSC.gradient(wrt='n'/'thickness') must resolve the right hybrid
+    pathwise channel and read the appended score column. Full-physics
+    FD agreement is chip-validated (docs/VALIDATION.md Result 3b:
+    8.4e-4 at 2e7 photons for d/dn); here the engine is stubbed so the
+    wiring is checked without a device compile."""
+    import pvtrace_tpu.engine.api as api_module
+    from pvtrace_tpu.device.lsc import LSC
+    from pvtrace_tpu.engine.compiler import compile_scene
+
+    x = np.arange(400, 801, dtype=float)
+    lsc = LSC((5.0, 5.0, 1.0))
+    lsc.add_luminophore(
+        "dye",
+        np.column_stack((x, 5.0 * lumogen_f_red_305.absorption(x))),
+        np.column_stack((x, lumogen_f_red_305.emission(x))),
+        quantum_yield=0.9,
+    )
+    lsc.add_absorber("bg", 0.1)
+    lsc.add_solar_cell({"left", "right", "near", "far"})
+
+    captured = {}
+
+    class FakeResult:
+        pass
+
+    def fake_simulate(scene, n_call, seed=None, index_offset=0,
+                      record_every=0, score=False, pathwise=(), **kw):
+        compiled = compile_scene(scene)
+        captured["pathwise"] = pathwise
+        captured["compiled"] = compiled
+        result = FakeResult()
+        result.compiled = compiled
+        R = compiled.n_recorders
+        CH = compiled.n_components + len(compiled.nodes) + len(pathwise)
+        distinct = np.zeros(R)
+        scores = np.zeros((R, CH))
+        order = [spec.name for spec in compiled.recorder_specs]
+        distinct[order.index("__incident")] = n_call
+        cell = order.index("__cell_left")
+        distinct[cell] = 0.25 * n_call
+        # put a recognisable score only in the LAST (pathwise) column
+        scores[cell, -1] = 0.125 * n_call
+        result.data = {"rec_distinct": distinct, "rec_scores": scores}
+        return result
+
+    monkeypatch.setattr(api_module, "simulate", fake_simulate)
+    import pvtrace_tpu.device.lsc as lsc_module
+    out = lsc.gradient(n=10_000, seed=1, wrt="thickness")
+    spec = captured["pathwise"]
+    compiled = captured["compiled"]
+    node = compiled.node_names.index("LSC")
+    assert spec == (("geom", node, 2),)
+    assert out["component"] == "thickness"
+    # gradient = d_collected/incident (d_incident = 0 here)
+    np.testing.assert_allclose(out["gradient"], 0.125)
+
+    out = lsc.gradient(n=10_000, seed=1, wrt="n")
+    assert captured["pathwise"] == (("n", node),)
