@@ -1862,15 +1862,18 @@ def _run(compiled, cfg: TraceConfig, tables, photon_ids, keys, positions,
             if cfg.pathwise:
                 # Hybrid pathwise channels. Per step each channel adds
                 #   * the free-flight survival likelihood  -d(alpha*t0)
-                #     on lanes that reached a boundary (the boundary
-                #     moves with theta via the propagated tangents), and
-                #   * the Fresnel coin likelihood with the FULL
-                #     derivative dR (explicit n-dependence plus the
-                #     incidence-cosine/normal movement), so the Snell
-                #     bending of earlier transmissions feeds later
-                #     coins through the direction tangents.
-                # Collision (absorption) segments contribute nothing:
-                # their sampled depth is held fixed (value-frame LR).
+                #     on lanes that reached a boundary,
+                #   * the collision-branch likelihood
+                #     d log(1 - e^{-alpha t0}) on absorbed lanes (the
+                #     slab geometric-series expansion shows survival
+                #     alone is incomplete — docs/GRADIENTS.md), with the
+                #     absorption point moved under the truncated-density
+                #     reparameterization, and
+                #   * the Fresnel coin likelihood with the FULL dR
+                #     (explicit n-dependence plus incidence-cosine
+                #     movement), so the Snell bending of earlier
+                #     transmissions feeds later coins and chords through
+                #     the propagated tangents.
                 tang = state["tang"]
                 new_tang = []
                 surv = r["moving"] & ~r["absorbed"]
