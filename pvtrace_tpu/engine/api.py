@@ -558,12 +558,33 @@ def simulate_stream(scene, num_rays, bundle=50000, seed=None, **kwargs):
     compiled = kwargs.pop("compiled", None)
     if compiled is None:
         compiled = compile_scene(scene)
-    traced = 0
-    while traced < num_rays:
-        n = min(bundle, num_rays - traced)
-        result = simulate(
-            scene, n, seed=int(seed), index_offset=traced,
+
+    # One-bundle prefetch: per-call overhead (dispatch + the result
+    # fetch, each a full round trip on remote links) dominates small
+    # streamed bundles, so bundle k+1 runs in a worker thread while the
+    # caller consumes bundle k. Results are identical — each bundle is
+    # an independent (seed, index_offset) call.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(start, n):
+        return simulate(
+            scene, n, seed=int(seed), index_offset=start,
             compiled=compiled, **kwargs
         )
-        traced += n
-        yield result, traced
+
+    if num_rays <= 0:
+        return
+    pool = ThreadPoolExecutor(max_workers=1)
+    try:
+        traced = 0
+        n = min(bundle, num_rays - traced)
+        pending = pool.submit(run, traced, n)
+        while traced < num_rays:
+            result = pending.result()
+            traced += n
+            if traced < num_rays:
+                n = min(bundle, num_rays - traced)
+                pending = pool.submit(run, traced, n)
+            yield result, traced
+    finally:
+        pool.shutdown(wait=True)
