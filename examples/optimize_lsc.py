@@ -28,6 +28,11 @@ from pvtrace_tpu.light.light import ConstantWavelengthMask
 
 
 def build(scale):
+    # `scale` multiplies the BACKGROUND absorber: the loss fraction
+    # responds strongly to it (dP/dlog ~ +0.17), so a target is
+    # reachable in a few steps. (Scaling the dye instead barely moves
+    # the fates here: re-absorbed photons mostly re-emit at qy=0.9, so
+    # dP/dlog(dye) ~ -0.013 — a deliberately weak lever.)
     x = np.arange(400, 801, dtype=float)
     world = Node(
         name="world",
@@ -43,7 +48,7 @@ def build(scale):
                 components=[
                     Luminophore(
                         np.column_stack(
-                            (x, scale * 10.0 * lumogen_f_red_305.absorption(x))
+                            (x, 10.0 * lumogen_f_red_305.absorption(x))
                         ),
                         emission=np.column_stack(
                             (x, lumogen_f_red_305.emission(x))
@@ -51,7 +56,7 @@ def build(scale):
                         quantum_yield=0.9,
                         name="dye",
                     ),
-                    Absorber(0.3, name="background"),
+                    Absorber(0.3 * scale, name="background"),
                 ],
             ),
         ),
@@ -70,12 +75,12 @@ def build(scale):
 
 
 def main():
-    target = 0.5  # want 50% of photons lost in the plate
+    target = 0.55  # want 55% of photons lost in the plate
     log_scale, history = optimize_concentration(
-        build, target, num_rays=400_000, iters=6, lr=4.0, seed=11,
-        event=Event.NONRADIATIVE, verbose=True,
+        build, target, num_rays=400_000, iters=6, lr=8.0, seed=11,
+        component=1, event=Event.NONRADIATIVE, verbose=True,
     )
-    print(f"\noptimal dye scale ~ {np.exp(log_scale):.3f} "
+    print(f"\noptimal background scale ~ {np.exp(log_scale):.3f} "
           f"(log scale {log_scale:+.4f})")
     print("history (log_scale, P, loss):")
     for row in history:
