@@ -67,7 +67,8 @@ def resolve_pathwise_params(compiled, params):
 
 
 def fate_gradients(scene, num_rays, seed=None, wrt="components",
-                   pathwise=None, bundle=16_000_000, center=True, **kwargs):
+                   pathwise=None, bundle=16_000_000, center=True,
+                   mesh=None, **kwargs):
     """Full multi-bounce gradients of fate fractions from ONE run.
 
     Score-function (likelihood-ratio) estimator, accumulated on device
@@ -109,6 +110,14 @@ def fate_gradients(scene, num_rays, seed=None, wrt="components",
     over the path measure, so centring is unbiased and removes the
     common-mode score noise shared by every fate.
 
+    ``mesh`` shards the photon axis over a device mesh
+    (``parallel.make_photon_mesh()``): each chip traces its slice and
+    the score accumulators are psum-reduced — the gradient all-reduce
+    of SURVEY §2.3. `num_rays` (and `bundle`) must divide the mesh
+    size; per-photon keys fold the global photon index, so the sharded
+    estimator equals the single-device one (bitwise for the fate
+    counts, up to summation order for the float score sums).
+
     kwargs pass through to ``engine.simulate`` (lanes, dtype, ...).
     """
     from pvtrace_tpu.engine.api import simulate
@@ -122,6 +131,16 @@ def fate_gradients(scene, num_rays, seed=None, wrt="components",
     )
     if seed is None:
         seed = int(np.random.randint(0, 2 ** 31 - 1))
+    if mesh is not None:
+        from pvtrace_tpu.parallel.shard import shard_simulate
+
+        n_dev = mesh.devices.size
+        if num_rays % n_dev != 0:
+            raise ValueError(
+                f"num_rays ({num_rays}) must divide the mesh size ({n_dev})."
+            )
+        if bundle:
+            bundle = max(n_dev, bundle - bundle % n_dev)
 
     n_comps = int(compiled.n_components)
     n_nodes = len(compiled.nodes)
@@ -132,12 +151,19 @@ def fate_gradients(scene, num_rays, seed=None, wrt="components",
         n_call = (
             num_rays - traced if not bundle else min(bundle, num_rays - traced)
         )
-        result = simulate(
-            scene, n_call, seed=seed, index_offset=traced, record_every=0,
-            score=True, pathwise=pw, compiled=compiled, **kwargs
-        )
-        part = np.asarray(result.data["fate_scores"], dtype=np.float64)
-        fate_part = np.asarray(result.data["fates"], dtype=np.float64)
+        if mesh is not None:
+            data = shard_simulate(
+                scene, n_call, mesh, seed=seed, index_offset=traced,
+                score=True, pathwise=pw, compiled=compiled, **kwargs
+            )
+        else:
+            data = simulate(
+                scene, n_call, seed=seed, index_offset=traced,
+                record_every=0, score=True, pathwise=pw,
+                compiled=compiled, **kwargs
+            ).data
+        part = np.asarray(data["fate_scores"], dtype=np.float64)
+        fate_part = np.asarray(data["fates"], dtype=np.float64)
         scores_sum = part if scores_sum is None else scores_sum + part
         fates_sum = fate_part if fates_sum is None else fates_sum + fate_part
         traced += n_call

@@ -6,6 +6,7 @@ from pvtrace_tpu.parallel.distributed import (
 )
 from pvtrace_tpu.parallel.shard import (
     make_photon_mesh,
+    shard_simulate,
     shard_trace,
     shard_trace_device_emit,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "init_distributed",
     "is_multiprocess",
     "make_photon_mesh",
+    "shard_simulate",
     "shard_trace",
     "shard_trace_device_emit",
     "shutdown_distributed",

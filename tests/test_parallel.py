@@ -144,6 +144,77 @@ def test_sharded_device_emit_regen_matches_single_device(setup):
     assert_tallies_equal(tallies, single, cfg)
 
 
+def test_sharded_score_tallies_match_single_device(setup):
+    """The unbiased gradient estimator rides the multi-chip path:
+    cfg.score compiles fate/recorder score accumulators into the sharded
+    program and the shard wrappers psum-reduce them (SURVEY §2.3
+    "gradient all-reduce for the differentiable path"). Integer tallies
+    are bitwise equal to single-device; the float score sums agree up
+    to cross-shard summation order (f64, rtol 1e-12)."""
+    from pvtrace_tpu.diff.transport import resolve_pathwise_params
+
+    scene, compiled, cfg, tables = setup
+    pw = resolve_pathwise_params(compiled, [("n", "lsc")])
+    score_cfg = tracer_module.make_config(
+        compiled, n_rays=8000, dtype=np.float64, record_every=0,
+        score=True, pathwise=pw,
+    )
+    mesh = make_photon_mesh()
+    key = jax.random.PRNGKey(7)
+
+    sharded = shard_trace_device_emit(compiled, score_cfg, mesh, lanes=256)
+    tallies, _ = sharded(tables, 8000, key)
+
+    single, _log, _counts, _steps = jax.jit(
+        lambda: tracer_module.trace_bundle_device_emit(
+            compiled, score_cfg, tables, key, 8000, lanes=256
+        )
+    )()
+    assert_tallies_equal(tallies, single, score_cfg)
+    for name in ("fate_scores", "rec_scores"):
+        assert name in tallies, name  # nothing silently dropped
+        np.testing.assert_allclose(
+            np.asarray(tallies[name]), np.asarray(single[name]),
+            rtol=1e-12, atol=1e-9, err_msg=name,
+        )
+    # The scene actually produced gradient signal on the mesh path.
+    assert np.abs(np.asarray(tallies["fate_scores"])).max() > 0
+
+
+def test_fate_gradients_mesh_matches_single_device():
+    """diff.transport.fate_gradients(mesh=...) — the sharded estimator —
+    must reproduce the single-device estimator: fate fractions exactly
+    (integer counters), score/pathwise gradients to summation order."""
+    from pvtrace_tpu.diff import transport
+
+    scene = lsc_scene()
+    mesh = make_photon_mesh()
+    kwargs = dict(
+        seed=5, wrt="all", pathwise=[("n", "lsc")], center=True
+    )
+    f_single, g_single = transport.fate_gradients(scene, 8000, **kwargs)
+    f_mesh, g_mesh = transport.fate_gradients(
+        scene, 8000, mesh=mesh, **kwargs
+    )
+    for event in f_single:
+        assert f_single[event] == f_mesh[event], event
+        np.testing.assert_allclose(
+            g_mesh[event], g_single[event], rtol=1e-10, atol=1e-12,
+            err_msg=str(event),
+        )
+    # Pathwise channel present and non-trivial in the sharded result.
+    assert any(np.abs(g_mesh[e][-1]) > 0 for e in g_mesh)
+
+
+def test_fate_gradients_mesh_rejects_indivisible_batch():
+    from pvtrace_tpu.diff import transport
+
+    scene = lsc_scene()
+    mesh = make_photon_mesh()
+    with pytest.raises(ValueError, match="divide the mesh"):
+        transport.fate_gradients(scene, 8001, mesh=mesh, seed=1)
+
+
 def test_regen_lane_width_is_bitwise_invariant(setup):
     scene, compiled, cfg, tables = setup
     key = jax.random.PRNGKey(4)
