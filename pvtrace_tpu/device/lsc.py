@@ -280,7 +280,7 @@ class LSC(object):
     # -- simulation ----------------------------------------------------
 
     def gradient(self, n=200_000, seed=None, component=None,
-                 wrt="concentration"):
+                 wrt="concentration", mesh=None):
         """Monte-Carlo gradient of the optical efficiency (north star).
 
         Returns d(optical efficiency) / d log(coefficient scale) of
@@ -305,6 +305,12 @@ class LSC(object):
         refractive index, hybrid pathwise estimator with the Snell
         term), or ``"length"``/``"width"``/``"thickness"`` (plate
         dimensions in cm via the geometry tangent channels).
+
+        ``mesh`` shards the photon axis over a device mesh
+        (``parallel.make_photon_mesh()``) with the recorder score
+        accumulators psum-reduced across chips — the multi-chip path
+        for the unbiased estimator. `n` (and each streamed bundle)
+        must divide the mesh size.
         """
         if not self._solar_cell_surfaces:
             raise ValueError(
@@ -347,36 +353,57 @@ class LSC(object):
                     "wrt must be 'concentration', 'n' or one of "
                     f"'length'/'width'/'thickness'; got {wrt!r}"
                 )
+            # Compile once (after the recorder swap, which changes the
+            # tables) and reuse across bundles — compile_scene is
+            # uncached, so recompiling per 16M-photon bundle would cost
+            # ~7 redundant host compiles at 1e8 photons.
+            from pvtrace_tpu.engine.compiler import compile_scene
+
+            compiled = compile_scene(scene)
             if pathwise:
                 from pvtrace_tpu.diff.transport import (
                     resolve_pathwise_params,
                 )
-                from pvtrace_tpu.engine.compiler import compile_scene
 
-                compiled = compile_scene(scene)
                 pathwise = resolve_pathwise_params(compiled, pathwise)
             bundle = 16_000_000
+            if mesh is not None:
+                n_dev = mesh.devices.size
+                if n % n_dev != 0:
+                    raise ValueError(
+                        f"n ({n}) must divide the mesh size ({n_dev})."
+                    )
+                bundle = max(n_dev, bundle - bundle % n_dev)
             distinct = None
             scores = None
             traced = 0
             while traced < n:
                 n_call = min(bundle, n - traced)
-                result = simulate(
-                    scene, n_call, seed=seed, index_offset=traced,
-                    record_every=0, score=True, pathwise=pathwise,
-                )
-                d_part = np.asarray(result.data["rec_distinct"], dtype=float)
-                s_part = np.asarray(result.data["rec_scores"], dtype=float)
+                if mesh is not None:
+                    from pvtrace_tpu.parallel.shard import shard_simulate
+
+                    data = shard_simulate(
+                        scene, n_call, mesh, seed=seed, index_offset=traced,
+                        score=True, pathwise=pathwise, compiled=compiled,
+                    )
+                else:
+                    data = simulate(
+                        scene, n_call, seed=seed, index_offset=traced,
+                        record_every=0, score=True, pathwise=pathwise,
+                        compiled=compiled,
+                    ).data
+                d_part = np.asarray(data["rec_distinct"], dtype=float)
+                s_part = np.asarray(data["rec_scores"], dtype=float)
                 distinct = d_part if distinct is None else distinct + d_part
                 scores = s_part if scores is None else scores + s_part
                 traced += n_call
         finally:
             lsc_node.recorders = saved
 
-        comp_names = list(result.compiled.component_names)
+        comp_names = list(compiled.component_names)
         if pathwise:
             # Pathwise channels append after component + node blocks.
-            channel = len(comp_names) + len(result.compiled.nodes)
+            channel = len(comp_names) + len(compiled.nodes)
             component = wrt
         else:
             if component is None:
@@ -386,7 +413,7 @@ class LSC(object):
                 )
             channel = comp_names.index(component)
 
-        order = [spec.name for spec in result.compiled.recorder_specs]
+        order = [spec.name for spec in compiled.recorder_specs]
         cell_rows = [order.index(f"__cell_{facet}") for facet in cells]
         inc_row = order.index("__incident")
 
@@ -611,59 +638,75 @@ class LSC(object):
             df = self.label_facets(df, *self.size)
         return self._make_counts(df)
 
-    def summary(self):
-        counts = self._make_counts(self._df)
-        all_facets = {"left", "right", "near", "far", "top", "bottom"}
+    #: Facet vocabulary of the slab (label_facets output).
+    _FACETS = frozenset({"left", "right", "near", "far", "top", "bottom"})
 
-        lum_collected = sum(
-            counts["Luminescent Out"][f] for f in self._solar_cell_surfaces
-        )
-        lum_escaped = sum(
-            counts["Luminescent Out"][f]
-            for f in all_facets - self._solar_cell_surfaces
-        )
-        incident = sum(counts["Solar In"][f] for f in all_facets)
-        lost = self.spectrum(
+    def summary(self):
+        """Efficiency summary as a pandas Series.
+
+        The Series keys are the reference's public output contract
+        (``device/lsc.py:579-621``) and are preserved verbatim —
+        including the trailing colon in the loss row. Values:
+
+        * optical efficiency = collected luminescent photons / incident;
+        * waveguide efficiency = collected / all radiated, with the
+          thermodynamic prediction ``n^2 / (Cg + n^2)`` alongside
+          (Cg = top area / edge area);
+        * loss fraction counts every terminal absorption (here:
+          nonradiative, react and kill too — the engine distinguishes
+          them where the reference lumps them under "absorb").
+
+        Ratios are NaN when their denominator is zero (no incident or
+        no radiated photons) instead of raising.
+        """
+        counts = self._make_counts(self._df)
+        cells = self._solar_cell_surfaces
+
+        def across(row, facets):
+            return sum(counts[row][facet] for facet in facets)
+
+        collected = across("Luminescent Out", cells)
+        radiated = collected + across("Luminescent Out", self._FACETS - cells)
+        incident = across("Solar In", self._FACETS)
+        lost = len(self.spectrum(
             source="all",
             events={"absorb", "nonradiative", "react", "kill"},
             kind="last",
-        ).shape[0]
+        ))
 
-        optical_efficiency = lum_collected / incident if incident else np.nan
-        denom = lum_collected + lum_escaped
-        waveguide_efficiency = lum_collected / denom if denom else np.nan
-
-        (l, w, d) = self.size
-        a1 = w * l
-        a2 = 2 * l * d + 2 * w * d
-        Cg = a1 / a2
+        length, width, depth = self.size
+        concentration = (width * length) / (2.0 * depth * (length + width))
         n = self.n1
-        return pd.Series(
-            {
-                "Optical Efficiency": optical_efficiency,
-                "Waveguide Efficiency": waveguide_efficiency,
-                "Waveguide Efficiency (Thermodynamic Prediction)": (
-                    n ** 2 / (Cg + n ** 2)
-                ),
-                "Non-radiative Loss (fraction):": lost / incident
-                if incident
-                else np.nan,
-                "Incident": incident,
-                "Geometric Concentration": Cg,
-                "Refractive Index": n,
-                "Cell Surfaces": self._solar_cell_surfaces,
-                "Components": self.component_names(),
-                "Lights": self.light_names(),
-            }
-        )
+
+        def ratio(numerator, denominator):
+            return numerator / denominator if denominator else np.nan
+
+        return pd.Series({
+            "Optical Efficiency": ratio(collected, incident),
+            "Waveguide Efficiency": ratio(collected, radiated),
+            "Waveguide Efficiency (Thermodynamic Prediction)": (
+                n ** 2 / (concentration + n ** 2)
+            ),
+            "Non-radiative Loss (fraction):": ratio(lost, incident),
+            "Incident": incident,
+            "Geometric Concentration": concentration,
+            "Refractive Index": n,
+            "Cell Surfaces": cells,
+            "Components": self.component_names(),
+            "Lights": self.light_names(),
+        })
 
     def report(self):
-        print()
-        print("Simulation Report")
-        print("-----------------")
-        print()
-        print("Surface Counts:")
-        print(self.counts())
-        print()
-        print("Summary:")
-        print(self.summary())
+        """Print the counts table and summary Series (same layout as
+        reference ``device/lsc.py:623-632``)."""
+        print("\n".join([
+            "",
+            "Simulation Report",
+            "-----------------",
+            "",
+            "Surface Counts:",
+            str(self.counts()),
+            "",
+            "Summary:",
+            str(self.summary()),
+        ]))
