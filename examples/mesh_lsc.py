@@ -1,7 +1,7 @@
 """BASELINE config #5: a large coated LSC with MESH geometry and edge
 solar cells, traced on the device engine.
 
-The concentrator is a hexagonal plate (a closed 26-triangle mesh, the
+The concentrator is a hexagonal plate (a closed 24-triangle mesh, the
 kind of shape the reference could only express through trimesh,
 reference geometry/mesh.py:44-61) with:
 

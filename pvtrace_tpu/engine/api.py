@@ -267,6 +267,11 @@ def _enable_persistent_cache():
     _CACHE_ENABLED = True
     import jax
 
+    # Respect a cache the user already configured (via jax.config or
+    # JAX_COMPILATION_CACHE_DIR) rather than clobbering it.
+    if getattr(jax.config, "jax_compilation_cache_dir", None):
+        return
+
     path = os.environ.get("PVTRACE_TPU_CACHE_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "pvtrace_tpu", "xla"
     )

@@ -380,7 +380,7 @@ def _mesh_nearest_two(mesh_consts, o, d, eps):
     # Small meshes unroll with scalar program constants: a traced
     # fori_loop keeps XLA from fusing the per-triangle bodies (each trip
     # gathers its constants dynamically) and measured ~45x slower per
-    # step than the box path at T=26. Unrolled, the 26-triangle hex
+    # step than the box path at T=24. Unrolled, the 24-triangle hex
     # plate runs at wavefront speed; big meshes keep the O(1)-program
     # fori_loop.
     unroll = T <= 96

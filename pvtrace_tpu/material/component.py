@@ -199,6 +199,11 @@ class Luminophore(Scatterer):
         if emission is None:
             self._ems_dist = _default_emission_grid(x, hist)
         else:
+            # A constant emission "spectrum" has no CDF to invert, so a
+            # scalar is a construction-time error (reference raises the
+            # same message, material/component.py:273-340).
+            if isinstance(emission, (float, int)):
+                raise ValueError("Luminophore `emission` arg has wrong type.")
             try:
                 self._ems_dist = build_spectrum(emission, x=x, hist=hist)
             except ValueError as err:
