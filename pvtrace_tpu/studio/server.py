@@ -11,10 +11,11 @@ Transport redesign: the reference uses FastAPI + uvicorn + a websocket.
 Here the server is a stdlib ``ThreadingHTTPServer`` and the live run
 streams over Server-Sent Events (``GET /api/run`` with
 ``text/event-stream``), which the browser consumes with ``EventSource``
-— no third-party web framework required. Patches round-trip the YAML
-with pyyaml (ruamel is unavailable); list values are emitted in flow
-style like hand-written scene files, but comments in the document are
-not preserved across GUI edits (documented limitation).
+— no third-party web framework required. Patches preserve user
+comments and formatting like the reference's ruamel round-trip
+(``server.py:330-471``), but via span-based text splices located with
+yaml.compose source marks (``studio.yamledit``); list values are
+emitted in flow style like hand-written scene files.
 """
 import io
 import json
@@ -28,6 +29,8 @@ from pathlib import Path
 
 import numpy as np
 import yaml
+
+from pvtrace_tpu.studio import yamledit
 
 from pvtrace_tpu import engine
 from pvtrace_tpu.cli.parse import auto_recorders, parse as parse_scene_file
@@ -237,21 +240,20 @@ def patch_document(studio, payload):
     Parity: reference ``studio/server.py:_patch`` — the same operation
     vocabulary (set / move / add-node / add-recorder / add-face-recorders
     / add-component / delete-component / update-recorder /
-    delete-recorder / delete-node).
+    delete-recorder / delete-node) AND the same comment preservation:
+    where the reference round-trips with ruamel, every operation here is
+    expressed as span-based text splices (``studio.yamledit``) located
+    with yaml.compose source marks, so user comments, blank lines, key
+    order and quoting outside the edited spans survive GUI edits.
     """
-    data = yaml.safe_load(io.StringIO(studio.document))
+    text = studio.document
+    data = yaml.safe_load(io.StringIO(text))
     if not isinstance(data, dict):
         raise ValueError("Document is not a YAML mapping.")
     operation = payload["op"]
 
     if operation == "set":
-        target = data
-        path = payload["path"]
-        for key in path[:-1]:
-            if key not in target or not isinstance(target[key], dict):
-                target[key] = {}
-            target = target[key]
-        target[path[-1]] = _flow(payload["value"])
+        return yamledit.set_value(text, payload["path"], payload["value"])
 
     elif operation == "move":
         # World position from the viewport; location is relative to the
@@ -265,8 +267,9 @@ def patch_document(studio, payload):
         if node.parent is None:
             raise ValueError("Cannot move the root node.")
         local = studio.scene.root.point_to_node(tuple(world), node.parent)
-        data["nodes"][name]["location"] = _flow(
-            [round(float(v), 6) for v in local]
+        return yamledit.set_value(
+            text, ["nodes", name, "location"],
+            [round(float(v), 6) for v in local],
         )
 
     elif operation == "add-node":
@@ -276,19 +279,20 @@ def patch_document(studio, payload):
         import copy
 
         name = _unique_name(data.get("nodes", {}), kind)
-        data.setdefault("nodes", {})[name] = copy.deepcopy(SNIPPETS[kind])
+        return yamledit.set_value(
+            text, ["nodes", name], copy.deepcopy(SNIPPETS[kind])
+        )
 
     elif operation == "add-recorder":
         node = payload["node"]
         if node not in data.get("nodes", {}):
             raise ValueError(f"Unknown node {node!r}")
-        recorders = data.setdefault("recorders", {})
-        name = _unique_name(recorders, f"{node}-escaping")
-        recorders[name] = {
+        name = _unique_name(data.get("recorders") or {}, f"{node}-escaping")
+        return yamledit.set_value(text, ["recorders", name], {
             "node": node,
             "event": "escaping",
-            "histograms": {"wavelength": _flow([400, 900, 80])},
-        }
+            "histograms": {"wavelength": [400, 900, 80]},
+        })
 
     elif operation == "add-face-recorders":
         # One escaping recorder with a position heatmap per box face
@@ -307,7 +311,7 @@ def patch_document(studio, payload):
             ("north", [0, 1, 0]),
             ("south", [0, -1, 0]),
         ]
-        recorders = data.setdefault("recorders", {})
+        recorders = data.get("recorders") or {}
         for label, facet in faces:
             name = f"{node}-{label}"
             if name in recorders:
@@ -316,73 +320,78 @@ def patch_document(studio, payload):
             u_axis, v_axis = [i for i in range(3) if i != axis]
             bins_u = max(10, min(60, int(size[u_axis] * 10)))
             bins_v = max(10, min(60, int(size[v_axis] * 10)))
-            recorders[name] = {
+            text = yamledit.set_value(text, ["recorders", name], {
                 "node": node,
                 "event": "escaping",
-                "facet": _flow(facet),
+                "facet": facet,
                 "histograms": {
-                    "position": _flow(
-                        [
-                            axes[u_axis],
-                            axes[v_axis],
-                            _flow([-half[u_axis], half[u_axis], bins_u]),
-                            _flow([-half[v_axis], half[v_axis], bins_v]),
-                        ]
-                    ),
+                    "position": [
+                        axes[u_axis],
+                        axes[v_axis],
+                        [-half[u_axis], half[u_axis], bins_u],
+                        [-half[v_axis], half[v_axis], bins_v],
+                    ],
                 },
-            }
+            })
+        return text
 
     elif operation == "add-component":
-        components = data.setdefault("components", {})
-        name = _unique_name(components, "absorber")
-        components[name] = {"absorber": {"coefficient": 1.0}}
+        name = _unique_name(data.get("components") or {}, "absorber")
+        return yamledit.set_value(
+            text, ["components", name], {"absorber": {"coefficient": 1.0}}
+        )
 
     elif operation == "delete-component":
         name = payload["component"]
-        del data["components"][name]
-        for node_spec in data.get("nodes", {}).values():
+        if name not in (data.get("components") or {}):
+            raise KeyError(name)
+        text = yamledit.delete_key(text, ["components", name])
+        for node_name, node_spec in (data.get("nodes") or {}).items():
             for geom in ("box", "sphere", "cylinder", "mesh"):
                 material = node_spec.get(geom, {}).get("material", {})
                 if name in (material.get("components") or []):
-                    material["components"] = [
-                        c for c in material["components"] if c != name
-                    ]
+                    text = yamledit.set_value(
+                        text,
+                        ["nodes", node_name, geom, "material", "components"],
+                        [c for c in material["components"] if c != name],
+                    )
+        return text
 
     elif operation == "update-recorder":
         # Edits to auto recorders (from record: true) materialise them
         # into the document first, then apply the changes.
         name = payload["recorder"]
-        recorders = data.setdefault("recorders", {})
-        if name not in recorders:
-            recorders[name] = _recorder_to_spec(studio, name)
+        if name not in (data.get("recorders") or {}):
+            text = yamledit.set_value(
+                text, ["recorders", name], _recorder_to_spec(studio, name)
+            )
         for key, value in payload["changes"].items():
             if key not in ("event", "facet", "atol"):
                 raise ValueError(f"Cannot update recorder key {key!r}")
-            recorders[name][key] = (
-                _flow(value) if isinstance(value, list) else value
-            )
+            text = yamledit.set_value(text, ["recorders", name, key], value)
+        return text
 
     elif operation == "delete-recorder":
-        recorders = data.setdefault("recorders", {})
-        if payload["recorder"] in recorders:
-            del recorders[payload["recorder"]]
-        else:
-            raise ValueError(
-                "This recorder comes from record: true on its node; "
-                "set record: false to remove the automatic set."
+        if payload["recorder"] in (data.get("recorders") or {}):
+            return yamledit.delete_key(
+                text, ["recorders", payload["recorder"]]
             )
+        raise ValueError(
+            "This recorder comes from record: true on its node; "
+            "set record: false to remove the automatic set."
+        )
 
     elif operation == "delete-node":
         name = payload["node"]
-        del data["nodes"][name]
-        for rec_name in list(data.get("recorders") or {}):
-            if data["recorders"][rec_name].get("node") == name:
-                del data["recorders"][rec_name]
+        if name not in (data.get("nodes") or {}):
+            raise KeyError(name)
+        text = yamledit.delete_key(text, ["nodes", name])
+        for rec_name, spec in list((data.get("recorders") or {}).items()):
+            if spec.get("node") == name:
+                text = yamledit.delete_key(text, ["recorders", rec_name])
+        return text
 
-    else:
-        raise ValueError(f"Unknown operation {operation!r}")
-
-    return _dump_yaml(data)
+    raise ValueError(f"Unknown operation {operation!r}")
 
 
 def _recorder_to_spec(studio, name):
