@@ -86,3 +86,30 @@ def test_gradients_notebook_executes(monkeypatch):
         resources={"metadata": {"path": EXAMPLES}},
     )
     client.execute()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", [
+    "002_materials",
+    "003_lights",
+    "004_nodes",
+    "005_geometry",
+    "006_coatings",
+])
+def test_numbered_tutorial_notebook_executes(monkeypatch, name):
+    """The numbered tutorials mirror the reference's 002-006 notebooks
+    (examples/002 Materials.ipynb ... 006 Coatings.ipynb); regenerate
+    with examples/make_tutorial_notebooks.py."""
+    monkeypatch.setenv("MPLBACKEND", "Agg")
+    repo = os.path.dirname(EXAMPLES)
+    monkeypatch.setenv(
+        "PYTHONPATH",
+        repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    path = os.path.join(EXAMPLES, f"{name}.ipynb")
+    nb = nbformat.read(path, as_version=4)
+    client = NotebookClient(
+        nb, timeout=1500, kernel_name="python3",
+        resources={"metadata": {"path": EXAMPLES}},
+    )
+    client.execute()
