@@ -218,52 +218,10 @@ def test_histogram_meta_carries_facets():
         assert "edges_a" in h and "edges_b" in h
 
 
-def test_frontend_has_gizmo_and_face_heatmaps():
-    """The viewport app wires a drag-to-move gizmo (posting op=move
-    patches the server frame-converts) and paints facet heatmaps onto
-    box faces (reference app.js transform gizmo + buildRecorderOverlay)."""
-    app = os.path.join(
-        os.path.dirname(studio_server.__file__), "static", "app.js"
-    )
-    with open(app) as fh:
-        source = fh.read()
-    # gizmo: hit test, live drag, and the move patch on release
-    for needle in ("function gizmoHit", "function gizmoDrag",
-                   '{ op: "move", node: name, world_position: world }'):
-        assert needle in source, needle
-    # face heatmaps: painter keyed on recorder facet + position heatmap
-    for needle in ("function drawFaceHeatmaps", "function paintFace",
-                   "meta.facet"):
-        assert needle in source, needle
-
-
-def test_frontend_webgl_viewport():
-    """The viewport renders through WebGL: shaded depth-tested geometry
-    (true mesh triangle soup from the server payload), ray paths drawn
-    as depth-tested GL lines, and recorder heatmaps uploaded as textures
-    painted onto geometry faces (reference three.js viewport parity,
-    reference studio/static/app.js:156)."""
-    app = os.path.join(
-        os.path.dirname(studio_server.__file__), "static", "app.js"
-    )
-    with open(app) as fh:
-        source = fh.read()
-    for needle in (
-        'getContext("webgl"',      # real GL context
-        "function drawGLScene",    # shaded geometry pass
-        "function drawGLPaths",    # depth-tested ray lines
-        "function heatmapTexture", # histograms -> GL textures
-        "gl.texImage2D",
-        "DEPTH_TEST",
-        "function tessellate",     # box/sphere/cylinder/mesh triangles
-        "node.triangles",          # true mesh soup from the server
-    ):
-        assert needle in source, needle
-    index = os.path.join(
-        os.path.dirname(studio_server.__file__), "static", "index.html"
-    )
-    with open(index) as fh:
-        assert 'id="viewport-gl"' in fh.read()
+# The frontend itself (gizmo drag, WebGL viewport, SSE plots) is now
+# EXECUTED end-to-end against this server by tests/test_frontend.py via
+# the jsmini interpreter — the grep-based source asserts that used to
+# live here are gone.
 
 
 def test_mesh_triangles_in_scene_payload(tmp_path):
