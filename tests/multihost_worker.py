@@ -68,10 +68,18 @@ def build_scene():
 
 
 def trace_global_mesh(n_rays, seed, lanes):
-    """Trace over the global mesh; returns tallies as plain lists."""
+    """Trace over the global mesh; returns tallies as plain lists.
+
+    Two passes: the tallies-only fast path, then a cfg.score pass with
+    a pathwise ("n", lsc) channel — the unbiased gradient estimator's
+    fate_scores must all-reduce across PROCESSES exactly like the
+    counters (SURVEY §2.3 "gradient all-reduce for the differentiable
+    path").
+    """
     import jax
     import numpy as np
 
+    from pvtrace_tpu.diff.transport import resolve_pathwise_params
     from pvtrace_tpu.engine import compiler as comp
     from pvtrace_tpu.engine import tracer as tracer_module
     from pvtrace_tpu.parallel import global_photon_mesh, shard_trace_device_emit
@@ -86,6 +94,16 @@ def trace_global_mesh(n_rays, seed, lanes):
     traced = shard_trace_device_emit(compiled, cfg, mesh, lanes=lanes)
     tallies, _steps = traced(tables, n_rays, jax.random.PRNGKey(seed))
     jax.block_until_ready(tallies)
+
+    score_cfg = tracer_module.make_config(
+        compiled, n_rays=n_rays, dtype=np.float32, record_every=0,
+        score=True, pathwise=resolve_pathwise_params(compiled, [("n", "lsc")]),
+    )
+    score_traced = shard_trace_device_emit(
+        compiled, score_cfg, mesh, lanes=lanes
+    )
+    score_tallies, _ = score_traced(tables, n_rays, jax.random.PRNGKey(seed))
+    jax.block_until_ready(score_tallies)
     return {
         "n_devices": len(jax.devices()),
         "n_processes": jax.process_count(),
@@ -94,6 +112,8 @@ def trace_global_mesh(n_rays, seed, lanes):
         "cross": np.asarray(tallies["cross"]).tolist(),
         "bins": np.asarray(tallies["bins"]).tolist(),
         "sums": np.asarray(tallies["sums"]).tolist(),
+        "score_fates": np.asarray(score_tallies["fates"]).tolist(),
+        "fate_scores": np.asarray(score_tallies["fate_scores"]).tolist(),
     }
 
 

@@ -85,3 +85,18 @@ def test_two_process_tallies_match_single_process(tmp_path):
     )
     # The photon budget is fully accounted for.
     assert int(np.sum(single["fates"])) == 4096
+
+    # The unbiased gradient estimator all-reduces across processes too:
+    # score-pass fate counters stay bitwise equal, the [fate, channel]
+    # score sums agree to cross-process summation order, and the
+    # gradient signal is non-trivial.
+    assert double[0]["score_fates"] == double[1]["score_fates"]
+    assert double[0]["score_fates"] == single["score_fates"]
+    assert double[0]["fate_scores"] == double[1]["fate_scores"]
+    single_scores = np.asarray(single["fate_scores"], dtype=float)
+    double_scores = np.asarray(double[0]["fate_scores"], dtype=float)
+    # f32 accumulators with cancellation: loose absolute floor.
+    np.testing.assert_allclose(
+        double_scores, single_scores, rtol=1e-3, atol=0.5
+    )
+    assert np.abs(single_scores).max() > 0
