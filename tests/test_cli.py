@@ -37,6 +37,7 @@ class TestParse:
         with pytest.raises(jsonschema.ValidationError):
             parse(str(bad))
 
+    @pytest.mark.slow
     def test_yaml_vs_python_equivalence(self):
         """YAML scene and the equivalent Python-built scene produce
         statistically identical fate fractions (the reference pins the

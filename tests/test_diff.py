@@ -116,6 +116,7 @@ def test_score_gradient_matches_analytic_slab():
     assert abs(gradients[Event.EXIT][0] + dp_dlog) < 0.02
 
 
+@pytest.mark.slow
 def test_score_gradient_matches_finite_differences_lsc():
     N = 150_000
     _, gradients = fate_gradients(lsc_scene(), N, seed=5, dtype=np.float64)
@@ -251,6 +252,7 @@ def test_cylinder_chord_matches_analytic():
     np.testing.assert_allclose(got, expect, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_lsc_gradient_matches_finite_differences():
     """LSC.gradient (d optical-efficiency / d log dye concentration)
     vs central finite differences with common random numbers."""
@@ -370,6 +372,7 @@ def _oblique_analytic(n, theta0, alpha, L):
     return P(n), (P(n + h) - P(n - h)) / (2 * h)
 
 
+@pytest.mark.slow
 def test_pathwise_n_gradient_oblique_incidence():
     """The hybrid pathwise channel recovers the FULL d(fate)/dn at 30
     degrees incidence — Fresnel coin term plus the Snell chord term
@@ -442,6 +445,7 @@ def test_pathwise_geometry_gradient_matches_analytic():
     )
 
 
+@pytest.mark.slow
 def test_pathwise_gradients_survive_regeneration_and_streaming():
     """Pathwise channels are pure functions of (seed, photon id): lane
     regeneration and exact-union streaming must not change the

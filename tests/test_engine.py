@@ -318,6 +318,7 @@ class TestStream:
         assert rays == 500
         assert 350 < total <= 500
 
+    @pytest.mark.slow
     def test_stream_union_is_exact(self):
         """The union of streamed bundles equals one big call EXACTLY
         (integer tallies bitwise) — the reference guarantee

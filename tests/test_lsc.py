@@ -54,6 +54,7 @@ class TestLSC:
         if len(lum) > 10:
             assert lum.mean() > 570.0
 
+    @pytest.mark.slow
     def test_solar_cells_and_mirror(self):
         np.random.seed(1)
         lsc = LSC((5.0, 5.0, 1.0))

@@ -181,6 +181,7 @@ def test_sharded_score_tallies_match_single_device(setup):
     assert np.abs(np.asarray(tallies["fate_scores"])).max() > 0
 
 
+@pytest.mark.slow
 def test_fate_gradients_mesh_matches_single_device():
     """diff.transport.fate_gradients(mesh=...) — the sharded estimator —
     must reproduce the single-device estimator: fate fractions exactly
@@ -215,6 +216,7 @@ def test_fate_gradients_mesh_rejects_indivisible_batch():
         transport.fate_gradients(scene, 8001, mesh=mesh, seed=1)
 
 
+@pytest.mark.slow
 def test_regen_lane_width_is_bitwise_invariant(setup):
     scene, compiled, cfg, tables = setup
     key = jax.random.PRNGKey(4)

@@ -9,6 +9,7 @@ full-width path with two-proportion z-tests, and exactly for the photon
 budget and determinism.
 """
 import numpy as np
+import pytest
 
 from pvtrace_tpu import (
     Absorber,
@@ -72,6 +73,7 @@ def lsc_scene():
     return Scene(world)
 
 
+@pytest.mark.slow
 def test_regeneration_traces_exact_budget_and_matches_plain():
     # Per-photon key streams fold (pid, own step counter), so the
     # regenerated run is BITWISE identical to the full-width run.
@@ -102,6 +104,7 @@ def test_regeneration_is_deterministic():
     assert (ca == cb).all()
 
 
+@pytest.mark.slow
 def test_regeneration_histories_are_complete():
     scene = lsc_scene()
     result = engine.simulate(

@@ -154,6 +154,7 @@ def test_patch_unknown_operation(server):
     assert status == 422
 
 
+@pytest.mark.slow
 def test_run_streams_bundles_and_paths(server):
     base, _ = server
     url = base + "/api/run?rays=2000&bundle=1000&record_every=50&max_paths=20"
