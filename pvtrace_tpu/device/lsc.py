@@ -310,7 +310,7 @@ class LSC(object):
         (``parallel.make_photon_mesh()``) with the recorder score
         accumulators psum-reduced across chips — the multi-chip path
         for the unbiased estimator. `n` (and each streamed bundle)
-        must divide the mesh size.
+        must be a multiple of the mesh size.
         """
         if not self._solar_cell_surfaces:
             raise ValueError(
@@ -371,7 +371,8 @@ class LSC(object):
                 n_dev = mesh.devices.size
                 if n % n_dev != 0:
                     raise ValueError(
-                        f"n ({n}) must divide the mesh size ({n_dev})."
+                        f"n ({n}) must be a multiple of the mesh "
+                        f"size ({n_dev})."
                     )
                 bundle = max(n_dev, bundle - bundle % n_dev)
             distinct = None

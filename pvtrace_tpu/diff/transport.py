@@ -113,8 +113,8 @@ def fate_gradients(scene, num_rays, seed=None, wrt="components",
     ``mesh`` shards the photon axis over a device mesh
     (``parallel.make_photon_mesh()``): each chip traces its slice and
     the score accumulators are psum-reduced — the gradient all-reduce
-    of SURVEY §2.3. `num_rays` (and `bundle`) must divide the mesh
-    size; per-photon keys fold the global photon index, so the sharded
+    of SURVEY §2.3. `num_rays` (and `bundle`) must be a multiple of
+    the mesh size; per-photon keys fold the global photon index, so the sharded
     estimator equals the single-device one (bitwise for the fate
     counts, up to summation order for the float score sums).
 
@@ -137,7 +137,7 @@ def fate_gradients(scene, num_rays, seed=None, wrt="components",
         n_dev = mesh.devices.size
         if num_rays % n_dev != 0:
             raise ValueError(
-                f"num_rays ({num_rays}) must divide the mesh size ({n_dev})."
+                f"num_rays ({num_rays}) must be a multiple of the mesh size ({n_dev})."
             )
         if bundle:
             bundle = max(n_dev, bundle - bundle % n_dev)

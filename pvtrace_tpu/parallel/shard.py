@@ -112,7 +112,7 @@ def shard_trace(compiled, cfg, mesh, axis_name="photons"):
         B = positions.shape[0] * jax.process_count()
         if B % n_dev != 0:
             raise ValueError(
-                f"Photon batch ({B}) must divide the mesh size ({n_dev})."
+                f"Photon batch ({B}) must be a multiple of the mesh size ({n_dev})."
             )
         offset = np.asarray([index_offset], dtype=np.uint32)
         args = distributed.globalize(
@@ -212,7 +212,7 @@ def shard_trace_device_emit(compiled, cfg, mesh, lanes=None,
         # `n_rays` is the GLOBAL photon budget on every process.
         if int(n_rays) % n_dev != 0:
             raise ValueError(
-                f"n_rays ({n_rays}) must divide the mesh size ({n_dev})."
+                f"n_rays ({n_rays}) must be a multiple of the mesh size ({n_dev})."
             )
         n_per_int = int(n_rays) // n_dev
         if lanes is not None and lanes < n_per_int:
@@ -231,9 +231,10 @@ def shard_trace_device_emit(compiled, cfg, mesh, lanes=None,
     return traced
 
 
-def shard_simulate(scene, num_rays, mesh, seed=None, maxsteps=1000,
-                   maxpathlength=None, max_events=128, emit_method="kT",
-                   dtype=None, compiled=None, lanes="auto", score=False,
+def shard_simulate(scene, num_rays, mesh, seed=None, workers=None,
+                   maxsteps=1000, maxpathlength=None, max_events=128,
+                   emit_method="kT", record_every=0, dtype=None,
+                   compiled=None, lanes="auto", score=False,
                    pathwise=(), index_offset=0, axis_name="photons"):
     """Sharded analogue of ``engine.simulate`` (tallies only).
 
@@ -248,13 +249,22 @@ def shard_simulate(scene, num_rays, mesh, seed=None, maxsteps=1000,
     single-device ``engine.simulate`` run with the same seed; float
     accumulators agree up to cross-shard summation order.
 
-    `num_rays` must divide the mesh size. Scenes whose lights compile
-    to device samplers emit on device (zero host transfer, lane
-    regeneration per shard); others emit one host bundle and shard it.
+    `num_rays` must be a multiple of the mesh size. Scenes whose
+    lights compile to device samplers emit on device (zero host
+    transfer, lane regeneration per shard); others emit one host bundle
+    and shard it (single-process only — host np.random emission cannot
+    reproduce the global bundle across processes). `workers` is
+    accepted for API compatibility and ignored; `record_every` must
+    stay 0 (tallies only — use engine.simulate for histories).
     """
     from pvtrace_tpu.engine.api import _get_tables, compile_scene
     from pvtrace_tpu.engine.emit import emit_bundle
 
+    if record_every:
+        raise ValueError(
+            "shard_simulate is tallies-only (record_every=0); use "
+            "engine.simulate for event-log histories."
+        )
     if compiled is None:
         compiled = compile_scene(scene)
     if seed is None:
@@ -266,7 +276,8 @@ def shard_simulate(scene, num_rays, mesh, seed=None, maxsteps=1000,
     n_dev = mesh.devices.size
     if int(num_rays) % n_dev != 0:
         raise ValueError(
-            f"num_rays ({num_rays}) must divide the mesh size ({n_dev})."
+            f"num_rays ({num_rays}) must be a multiple of the mesh "
+            f"size ({n_dev})."
         )
     cfg = tracer_module.make_config(
         compiled, n_rays=num_rays, dtype=dtype, maxsteps=maxsteps,
@@ -286,6 +297,14 @@ def shard_simulate(scene, num_rays, mesh, seed=None, maxsteps=1000,
         )
         tallies, steps = traced(tables, num_rays, base_key, index_offset)
     else:
+        if distributed.is_multiprocess():
+            raise ValueError(
+                "Host-emitted scenes cannot shard_simulate across "
+                "processes: each process's np.random bundle would "
+                "differ. Use lights the compiler lowers to device "
+                "samplers, or emit and shard the bundle explicitly "
+                "with shard_trace."
+            )
         pos, direction, wav, _src = emit_bundle(scene, num_rays)
         traced = shard_trace(compiled, cfg, mesh, axis_name=axis_name)
         tallies, steps = traced(

@@ -60,12 +60,6 @@ def _flow(value):
     return value
 
 
-def _dump_yaml(data):
-    return yaml.safe_dump(
-        data, sort_keys=False, default_flow_style=False, width=100
-    )
-
-
 def _unique_name(existing, stem):
     index = 1
     while f"{stem}-{index}" in existing:

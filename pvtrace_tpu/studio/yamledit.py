@@ -122,6 +122,16 @@ def _render_flow(value):
     return "[" + ", ".join(parts) + "]"
 
 
+def _render_flow_any(value):
+    """Flow-style (inline) rendering, dicts included — for splices
+    inside `{...}` mappings, where block syntax would not parse."""
+    if isinstance(value, dict):
+        return "{" + ", ".join(
+            f"{k}: {_render_flow_any(v)}" for k, v in value.items()
+        ) + "}"
+    return render_value(value)
+
+
 def _line_start(text, index):
     return text.rfind("\n", 0, index) + 1
 
@@ -182,6 +192,12 @@ def set_value(text, path, value):
     if key_node is None:
         return _insert_entry(text, chain, path[-1], value)
     if isinstance(value, dict):
+        if getattr(holder, "flow_style", False):
+            # Inside `{...}`: block syntax would not parse — splice the
+            # dict inline.
+            start = value_node.start_mark.index
+            end = _trim_end(text, start, value_node.end_mark.index)
+            return text[:start] + _render_flow_any(value) + text[end:]
         # Replace the whole entry with a block-styled one.
         indent = _indent_of(text, key_node.start_mark.index)
         start, end = _entry_span(text, key_node, value_node)
@@ -201,10 +217,17 @@ def _insert_entry(text, chain, key, value):
     holder = chain[-1]
     entries = _entries(holder)
     root = chain[0]
-    if not entries or getattr(holder, "flow_style", False):
-        # Empty (`{}`) or flow-style mapping: no block entries to
-        # append after, so rewrite just this mapping's own span as a
-        # block mapping (a flow mapping cannot contain comments).
+    if entries and getattr(holder, "flow_style", False):
+        # Non-empty `{a: 1, ...}`: insert inline before the closing
+        # brace, keeping every sibling entry.
+        end = holder.end_mark.index
+        brace = text.rfind("}", holder.start_mark.index, end)
+        rendered = _render_flow_any({key: value})[1:-1]  # strip { }
+        return text[:brace].rstrip() + ", " + rendered + text[brace:]
+    if not entries:
+        # Empty (`{}`) mapping: no block entries to append after, so
+        # rewrite just this mapping's own span as a block mapping (an
+        # empty flow mapping cannot contain comments).
         if holder is root:
             rendered = render_value({key: value}, 0)
             body = text.rstrip()
@@ -253,6 +276,29 @@ def delete_key(text, path):
     key_node, value_node = _find_entry(holder, path[-1])
     if key_node is None:
         raise KeyError(f"No such key: {path!r}")
+    if getattr(holder, "flow_style", False):
+        # Inside `{...}`: splice out `key: value` plus one adjacent
+        # comma; the only entry leaves `{}` (still inline).
+        if len(_entries(holder)) == 1:
+            start = holder.start_mark.index
+            end = holder.end_mark.index
+            return text[:start] + "{}" + text[end:]
+        start = key_node.start_mark.index
+        end = _trim_end(text, start, value_node.end_mark.index)
+        after = end
+        while after < len(text) and text[after] in " \t":
+            after += 1
+        if after < len(text) and text[after] == ",":
+            after += 1
+            while after < len(text) and text[after] in " \t":
+                after += 1
+            return text[:start] + text[after:]
+        before = start
+        while before > 0 and text[before - 1] in " \t":
+            before -= 1
+        if before > 0 and text[before - 1] == ",":
+            before -= 1
+        return text[:before] + text[end:]
     start, end = _entry_span(text, key_node, value_node)
     if len(_entries(holder)) == 1 and holder is not root:
         # Deleting the only entry would leave an invalid empty block

@@ -212,7 +212,7 @@ def test_fate_gradients_mesh_rejects_indivisible_batch():
 
     scene = lsc_scene()
     mesh = make_photon_mesh()
-    with pytest.raises(ValueError, match="divide the mesh"):
+    with pytest.raises(ValueError, match="multiple of the mesh"):
         transport.fate_gradients(scene, 8001, mesh=mesh, seed=1)
 
 

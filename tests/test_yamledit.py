@@ -235,3 +235,61 @@ class TestPatchDocumentPreservesComments:
         for comment in STUDIO_COMMENTS:
             assert comment in text
         # NOT applied: the scene stays valid for other tests.
+
+
+class TestFlowMappings:
+    """Splices inside `{...}` mappings must keep siblings and stay
+    parseable (regression: inserts rewrote the mapping as only the new
+    entry; deletes spliced line-wise through the flow syntax)."""
+
+    DOC = (
+        "nodes:\n"
+        "  world:\n"
+        "    sphere:\n"
+        "      radius: 10.0\n"
+        "      material: {refractive_index: 1.0, color: red}  # inline\n"
+    )
+    PATH = ["nodes", "world", "sphere", "material"]
+
+    def test_insert_keeps_siblings(self):
+        text = yamledit.set_value(self.DOC, self.PATH + ["absorption"], 0.5)
+        material = yamledit.get_value(text, self.PATH)
+        assert material == {
+            "refractive_index": 1.0, "color": "red", "absorption": 0.5
+        }
+        assert "# inline" in text
+
+    def test_insert_dict_value_stays_inline(self):
+        text = yamledit.set_value(
+            self.DOC, self.PATH + ["extra"], {"a": 1.0}
+        )
+        assert yamledit.get_value(text, self.PATH + ["extra"]) == {"a": 1.0}
+
+    def test_replace_dict_value_stays_inline(self):
+        text = yamledit.set_value(
+            self.DOC, self.PATH, {"refractive_index": 1.5}
+        )
+        assert yamledit.get_value(text, self.PATH) == {
+            "refractive_index": 1.5
+        }
+        assert yamledit.get_value(text, self.PATH[:-1] + ["radius"]) == 10.0
+
+    def test_delete_middle_key_keeps_siblings(self):
+        text = yamledit.delete_key(self.DOC, self.PATH + ["refractive_index"])
+        assert yamledit.get_value(text, self.PATH) == {"color": "red"}
+        assert "# inline" in text
+
+    def test_delete_last_key_keeps_siblings(self):
+        text = yamledit.delete_key(self.DOC, self.PATH + ["color"])
+        assert yamledit.get_value(text, self.PATH) == {
+            "refractive_index": 1.0
+        }
+
+    def test_delete_only_key_leaves_inline_empty_mapping(self):
+        doc = self.DOC.replace(
+            "{refractive_index: 1.0, color: red}", "{refractive_index: 1.0}"
+        )
+        text = yamledit.delete_key(doc, self.PATH + ["refractive_index"])
+        assert yamledit.get_value(text, self.PATH) == {}
+        # Still one line; the sphere mapping is intact.
+        assert yamledit.get_value(text, self.PATH[:-1] + ["radius"]) == 10.0
