@@ -53,7 +53,7 @@ async function patch(payload) {
   try {
     const data = await api("POST", "/api/patch", payload);
     state.scene = data.scene;
-    $("editor").value = data.text;
+    setEditorValue(data.text);
     renderAll();
   } catch (exception) {
     error.textContent = exception.message;
@@ -1071,6 +1071,149 @@ async function stop() {
   await api("POST", "/api/stop", {});
 }
 
+// ---------------------------------------------------------------- editor
+//
+// Syntax-highlighted YAML editing without vendoring an editor (the
+// reference ships CodeMirror): a <pre> under the transparent textarea
+// renders the tokenised document; input/scroll keep the two in sync.
+
+function escapeHTML(text) {
+  return text
+    .replace(/&/g, "&amp;")
+    .replace(/</g, "&lt;")
+    .replace(/>/g, "&gt;");
+}
+
+function spanToken(cls, text) {
+  return `<span class="tok-${cls}">${escapeHTML(text)}</span>`;
+}
+
+function splitUnquotedComment(line) {
+  // First '#' outside quotes starts the comment.
+  let quote = null;
+  for (let i = 0; i < line.length; i++) {
+    const c = line[i];
+    if (quote) {
+      if (c === quote) quote = null;
+    } else if (c === '"' || c === "'") {
+      quote = c;
+    } else if (c === "#") {
+      return [line.slice(0, i), line.slice(i)];
+    }
+  }
+  return [line, ""];
+}
+
+function isNumberToken(token) {
+  if (!token.length) return false;
+  let i = 0;
+  if (token[0] === "-" || token[0] === "+") i = 1;
+  let digits = 0;
+  for (; i < token.length; i++) {
+    const c = token[i];
+    if (c >= "0" && c <= "9") digits++;
+    else if (c !== "." && c !== "e" && c !== "E" && c !== "-" && c !== "+")
+      return false;
+  }
+  return digits > 0;
+}
+
+function highlightScalars(text) {
+  // Strings, numbers, booleans/null and flow punctuation in a value.
+  let out = "";
+  let i = 0;
+  while (i < text.length) {
+    const c = text[i];
+    if (c === '"' || c === "'") {
+      let j = i + 1;
+      while (j < text.length && text[j] !== c) j++;
+      out += spanToken("str", text.slice(i, j + 1));
+      i = j + 1;
+      continue;
+    }
+    if ("[]{},:".indexOf(c) >= 0) {
+      out += spanToken("punct", c);
+      i += 1;
+      continue;
+    }
+    let j = i;
+    while (j < text.length && '[]{},:"\''.indexOf(text[j]) < 0) j++;
+    const chunk = text.slice(i, j);
+    const token = chunk.trim();
+    if (!token.length) out += escapeHTML(chunk);
+    else if (isNumberToken(token)) {
+      const at = chunk.indexOf(token);
+      out += escapeHTML(chunk.slice(0, at));
+      out += spanToken("num", token);
+      out += escapeHTML(chunk.slice(at + token.length));
+    } else if (token === "true" || token === "false" || token === "null" ||
+               token === "yes" || token === "no") {
+      const at = chunk.indexOf(token);
+      out += escapeHTML(chunk.slice(0, at));
+      out += spanToken("bool", token);
+      out += escapeHTML(chunk.slice(at + token.length));
+    } else {
+      out += escapeHTML(chunk);
+    }
+    i = j;
+  }
+  return out;
+}
+
+function highlightLine(line) {
+  const [code, comment] = splitUnquotedComment(line);
+  let out = "";
+  let rest = code;
+  // leading indentation and list dashes
+  let i = 0;
+  while (i < rest.length && (rest[i] === " " || rest[i] === "\t")) i++;
+  out += escapeHTML(rest.slice(0, i));
+  rest = rest.slice(i);
+  while (rest.startsWith("- ")) {
+    out += spanToken("dash", "-") + " ";
+    rest = rest.slice(2);
+  }
+  // `key:` — an unquoted prefix ending in ':' followed by space/EOL
+  let keyEnd = -1;
+  for (let j = 0; j < rest.length; j++) {
+    const c = rest[j];
+    if (c === ":" && (j + 1 >= rest.length || rest[j + 1] === " ")) {
+      keyEnd = j;
+      break;
+    }
+    if (c === '"' || c === "'" || c === "[" || c === "{") break;
+  }
+  if (keyEnd >= 0) {
+    out += spanToken("key", rest.slice(0, keyEnd)) + spanToken("punct", ":");
+    rest = rest.slice(keyEnd + 1);
+  }
+  out += highlightScalars(rest);
+  if (comment.length) out += spanToken("comment", comment);
+  return out;
+}
+
+function refreshEditorHighlight() {
+  const editor = $("editor");
+  const target = $("editor-highlight");
+  const lines = editor.value.split("\n");
+  const html = [];
+  for (const line of lines) html.push(highlightLine(line));
+  target.innerHTML = html.join("\n") + "\n";
+  syncEditorScroll();
+}
+
+function syncEditorScroll() {
+  const editor = $("editor");
+  const target = $("editor-highlight");
+  target.scrollTop = editor.scrollTop || 0;
+  target.scrollLeft = editor.scrollLeft || 0;
+}
+
+function setEditorValue(text) {
+  $("editor").value = text;
+  refreshEditorHighlight();
+}
+
 // ---------------------------------------------------------------- boot
 
 function renderAll() {
@@ -1086,6 +1229,8 @@ async function boot() {
     if ((event.ctrlKey || event.metaKey) && event.key === "Enter")
       applyDocument($("editor").value);
   });
+  $("editor").addEventListener("input", refreshEditorHighlight);
+  $("editor").addEventListener("scroll", syncEditorScroll);
   $("run").onclick = run;
   $("stop").onclick = stop;
   $("save").onclick = async () => {
@@ -1102,7 +1247,7 @@ async function boot() {
     patch({ op: "add-component" });
 
   const data = await api("GET", "/api/document");
-  $("editor").value = data.text;
+  setEditorValue(data.text);
   if (data.text) await applyDocument(data.text);
 
   // CLI `simulate --watch` live view: subscribe to the broadcast feed.

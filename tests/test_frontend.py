@@ -227,3 +227,36 @@ def test_add_node_buttons_wired(booted):
     ))
     spec = yaml.safe_load(httpd.studio.document)
     assert "box-1" not in spec["nodes"]
+
+
+def test_editor_syntax_highlighting(booted):
+    """The comment-free CodeMirror replacement: a tokenised <pre> under
+    the transparent textarea, refreshed on boot, patches and typing."""
+    interp, harness, _httpd = booted
+    html = js_str(harness.el("editor-highlight")["innerHTML"])
+    assert '<span class="tok-key">' in html
+    assert '<span class="tok-num">' in html
+
+    line = js_str(interp.call(
+        "highlightLine", "coefficient: 5.0  # dye strength"
+    ))
+    assert '<span class="tok-key">coefficient</span>' in line
+    assert '<span class="tok-num">5.0</span>' in line
+    assert '<span class="tok-comment"># dye strength</span>' in line
+    quoted = js_str(interp.call(
+        "highlightLine", 'name: "lumogen-f-red-305"'
+    ))
+    assert '<span class="tok-str">&quot;' not in quoted  # no double-escape
+    assert 'tok-str' in quoted
+    flow = js_str(interp.call("highlightLine", "  facet: [0, 0, -1]"))
+    assert 'tok-punct' in flow and flow.count("tok-num") == 3
+    escaped = js_str(interp.call("highlightLine", "a: <b> & 'c'"))
+    assert "&lt;b&gt;" in escaped and "&amp;" in escaped
+
+    # Typing refreshes the overlay.
+    original = js_str(harness.el("editor")["value"])
+    harness.el("editor")["value"] = "version: '2.0'  # note"
+    harness.el("editor").dispatch("input")
+    html = js_str(harness.el("editor-highlight")["innerHTML"])
+    assert "tok-comment" in html and "tok-str" in html
+    interp.call("setEditorValue", original)  # restore for other tests
