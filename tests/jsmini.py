@@ -93,8 +93,9 @@ KEYWORDS = {
 }
 
 PUNCT = [
-    "...", "===", "!==", "**=", "=>", "<=", ">=", "==", "!=", "&&",
-    "||", "+=", "-=", "*=", "/=", "%=", "++", "--", "**", "{", "}",
+    "...", "===", "!==", "**=", "=>", "<<", ">>", "<=", ">=", "==",
+    "!=", "&&", "||", "+=", "-=", "*=", "/=", "%=", "++", "--", "**",
+    "{", "}",
     "(", ")", "[", "]", ";", ",", "<", ">", "+", "-", "*", "/", "%",
     "&", "|", "^", "!", "~", "?", ":", "=", ".", "`",
 ]
@@ -422,13 +423,18 @@ class Parser:
             while not self.at_punct("]"):
                 if self.at_punct(","):
                     self.next()
-                    elements.append(None)
+                    elements.append(None)  # elision
                     continue
                 if self.at_punct("..."):
                     self.next()
                     elements.append(("rest", self.parse_binding_target()))
                 else:
-                    elements.append(("elem", self.parse_binding_target()))
+                    target = self.parse_binding_target()
+                    default = None
+                    if self.at_punct("="):
+                        self.next()
+                        default = self.parse_assignment()
+                    elements.append(("elem", target, default))
                 if self.at_punct(","):
                     self.next()
             self.expect("]")
@@ -676,8 +682,11 @@ class Parser:
             if not matched:
                 return left
             op = self.next().value
-            right = self.parse_binary(level + 1)
+            # `**` is right-associative; everything else left.
+            right = self.parse_binary(level if op == "**" else level + 1)
             left = (kind, op, left, right)
+            if op == "**":
+                return left
 
     def parse_unary(self):
         t = self.peek()
@@ -1342,6 +1351,9 @@ class Interpreter:
                                       declare)
                     break
                 item = items[i] if i < len(items) else UNDEF
+                default = element[2] if len(element) > 2 else None
+                if item is UNDEF and default is not None:
+                    item = self.eval(default, scope)
                 self.bind_pattern(element[1], item, scope, declare)
                 i += 1
         elif kind == "opat":
