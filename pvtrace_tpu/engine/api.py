@@ -446,10 +446,12 @@ def simulate(
         pathwise=pathwise,
     )
     if lanes == "auto":
-        # 2^19 lanes measured fastest on v5e across 4M-32M photon
-        # budgets (wide enough to saturate the VPU, small enough that
-        # the final drain tail stays cheap).
-        lanes = min(num_rays, 1 << 19)
+        # 2^18 lanes measured fastest on v5e at 32M-photon budgets
+        # (round-5 sweep, 4 repeats each: 2^16 106.8M / 2^17 109.1M /
+        # 2^18 109.9M / 2^19 104.5M / 2^20 88.9M photons/s — wide
+        # enough to saturate the VPU, small enough that the final
+        # drain tail stays cheap).
+        lanes = min(num_rays, 1 << 18)
     if lanes is not None and lanes >= num_rays:
         lanes = None
     tables = _get_tables(compiled, dtype)

@@ -291,7 +291,7 @@ def shard_simulate(scene, num_rays, mesh, seed=None, workers=None,
     if compiled.lights_supported:
         per_shard = int(num_rays) // n_dev
         if lanes == "auto":
-            lanes = min(per_shard, 1 << 19)
+            lanes = min(per_shard, 1 << 18)
         traced = shard_trace_device_emit(
             compiled, cfg, mesh, lanes=lanes, axis_name=axis_name
         )
