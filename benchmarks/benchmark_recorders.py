@@ -44,18 +44,24 @@ def main():
     from pvtrace_tpu import engine
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
-    print(f"| recorders | compile (s) | run (s) | photons/s |")
-    print(f"|---|---|---|---|")
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    print("| recorders | compile (s) | best of "
+          f"{repeats} (s) | photons/s |")
+    print("|---|---|---|---|")
     for n_rec in (0, 4, 32, 128, 256):
         scene = scene_with_recorders(n_rec)
         tic = time.perf_counter()
         engine.simulate(scene, 2_000_000, seed=1, record_every=0)
         compile_s = time.perf_counter() - tic
-        tic = time.perf_counter()
-        res = engine.simulate(scene, n, seed=2, record_every=0)
-        run_s = time.perf_counter() - tic
+        # Best-of-N: single shots over the shared tunnel mix ~30-60 ms
+        # dispatch/fetch hiccups into the measurement.
+        best = float("inf")
+        for i in range(repeats):
+            tic = time.perf_counter()
+            res = engine.simulate(scene, n, seed=2 + i, record_every=0)
+            best = min(best, time.perf_counter() - tic)
         print(
-            f"| {n_rec} | {compile_s:.1f} | {run_s:.2f} | {n / run_s:,.0f} |"
+            f"| {n_rec} | {compile_s:.1f} | {best:.2f} | {n / best:,.0f} |"
         )
         assert sum(r.rays for r in res.recorders.values()) >= 0
 
