@@ -234,3 +234,71 @@ def test_regen_lane_width_is_bitwise_invariant(setup):
     c = run(None)  # full-width, no regeneration
     assert_tallies_equal(a, b, cfg)
     assert_tallies_equal(a, c, cfg)
+
+
+def test_shard_simulate_host_emission_matches_single_device():
+    """Scenes whose lights do NOT compile to device samplers take the
+    host-bundle path in shard_simulate; with the same np.random stream
+    the sharded run is bitwise equal to engine.simulate."""
+    from pvtrace_tpu.parallel.shard import shard_simulate
+
+    def custom_scene():
+        world = Node(
+            name="world",
+            geometry=Sphere(
+                radius=12.0, material=Material(refractive_index=1.0)
+            ),
+        )
+        Node(
+            name="ball",
+            geometry=Sphere(
+                radius=1.0, material=Material(refractive_index=1.5)
+            ),
+            parent=world,
+        )
+        light = Node(
+            name="light",
+            light=Light(
+                wavelength=ConstantWavelengthMask(555.0),
+                # A bare callable has no device sampler: host emission.
+                position=lambda: (0.05, 0.0, 0.0),
+            ),
+            parent=world,
+        )
+        light.translate((0.0, 0.0, -3.0))
+        return Scene(world)
+
+    scene = custom_scene()
+    compiled = engine.compile_scene(scene)
+    assert not compiled.lights_supported
+    mesh = make_photon_mesh()
+
+    np.random.seed(21)
+    data = shard_simulate(scene, 4000, mesh, seed=6, compiled=compiled)
+    np.random.seed(21)
+    result = engine.simulate(scene, 4000, seed=6, record_every=0)
+    assert (data["fates"] == np.asarray(result.data["fates"])).all()
+    assert int(data["fates"].sum()) == 4000
+
+
+@pytest.mark.slow
+def test_lsc_gradient_mesh_matches_single_device():
+    """LSC.gradient(mesh=...) — the sharded unbiased estimator through
+    the high-level device API — reproduces the single-device result."""
+    from pvtrace_tpu.device.lsc import LSC
+
+    def build():
+        lsc = LSC((5.0, 5.0, 1.0))
+        lsc.add_solar_cell({"left", "right", "near", "far"})
+        return lsc
+
+    np.random.seed(33)
+    single = build().gradient(n=8000, seed=13)
+    np.random.seed(33)
+    sharded = build().gradient(n=8000, seed=13, mesh=make_photon_mesh())
+    # Distinct counts are integers, so the efficiency ratio is exact.
+    assert single["optical_efficiency"] == sharded["optical_efficiency"]
+    np.testing.assert_allclose(
+        sharded["gradient"], single["gradient"], rtol=1e-9, atol=1e-12
+    )
+    assert sharded["component"] == single["component"]
