@@ -394,7 +394,7 @@ def simulate(
     `lanes` sets the wavefront width for device-emitted bundles. When
     smaller than `num_rays`, dead lanes are refilled with new photons
     (regeneration) so the loop cost follows the mean photon lifetime,
-    not the max. "auto" picks `min(num_rays, 2**19)`; None disables
+    not the max. "auto" picks `min(num_rays, 2**18)`; None disables
     regeneration.
 
     COST NOTE: `record_every > 0` (event-log histories) switches the

@@ -231,11 +231,11 @@ def shard_trace_device_emit(compiled, cfg, mesh, lanes=None,
     return traced
 
 
-def shard_simulate(scene, num_rays, mesh, seed=None, workers=None,
-                   maxsteps=1000, maxpathlength=None, max_events=128,
-                   emit_method="kT", record_every=0, dtype=None,
-                   compiled=None, lanes="auto", score=False,
-                   pathwise=(), index_offset=0, axis_name="photons"):
+def shard_simulate(scene, num_rays, mesh, seed=None, maxsteps=1000,
+                   maxpathlength=None, max_events=128, emit_method="kT",
+                   dtype=None, compiled=None, lanes="auto", score=False,
+                   pathwise=(), index_offset=0, axis_name="photons",
+                   workers=None, record_every=0):
     """Sharded analogue of ``engine.simulate`` (tallies only).
 
     Traces `num_rays` with the photon axis sharded over `mesh` and

@@ -1097,7 +1097,10 @@ function splitUnquotedComment(line) {
       if (c === quote) quote = null;
     } else if (c === '"' || c === "'") {
       quote = c;
-    } else if (c === "#") {
+    } else if (c === "#" &&
+               (i === 0 || line[i - 1] === " " || line[i - 1] === "\t")) {
+      // YAML: '#' starts a comment only after whitespace or at line
+      // start ('url: http://x#frag' is one scalar).
       return [line.slice(0, i), line.slice(i)];
     }
   }

@@ -113,22 +113,19 @@ def render_value(value, indent=0):
 
 
 def _render_flow(value):
-    parts = []
-    for item in value:
-        if isinstance(item, (list, tuple)):
-            parts.append(_render_flow(item))
-        else:
-            parts.append(render_value(item))
-    return "[" + ", ".join(parts) + "]"
+    return "[" + ", ".join(_render_flow_any(v) for v in value) + "]"
 
 
 def _render_flow_any(value):
-    """Flow-style (inline) rendering, dicts included — for splices
-    inside `{...}` mappings, where block syntax would not parse."""
+    """Flow-style (inline) rendering, dicts and lists recursively — for
+    splices inside `{...}`/`[...]`, where block syntax would not
+    parse."""
     if isinstance(value, dict):
         return "{" + ", ".join(
             f"{k}: {_render_flow_any(v)}" for k, v in value.items()
         ) + "}"
+    if isinstance(value, (list, tuple)):
+        return _render_flow(value)
     return render_value(value)
 
 
@@ -223,7 +220,10 @@ def _insert_entry(text, chain, key, value):
         end = holder.end_mark.index
         brace = text.rfind("}", holder.start_mark.index, end)
         rendered = _render_flow_any({key: value})[1:-1]  # strip { }
-        return text[:brace].rstrip() + ", " + rendered + text[brace:]
+        prefix = text[:brace].rstrip()
+        if prefix.endswith(","):  # YAML allows a trailing comma
+            prefix = prefix[:-1].rstrip()
+        return prefix + ", " + rendered + text[brace:]
     if not entries:
         # Empty (`{}`) mapping: no block entries to append after, so
         # rewrite just this mapping's own span as a block mapping (an

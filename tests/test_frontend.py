@@ -260,3 +260,11 @@ def test_editor_syntax_highlighting(booted):
     html = js_str(harness.el("editor-highlight")["innerHTML"])
     assert "tok-comment" in html and "tok-str" in html
     interp.call("setEditorValue", original)  # restore for other tests
+
+
+def test_highlighter_hash_inside_scalar_is_not_a_comment(booted):
+    interp, _harness, _httpd = booted
+    line = js_str(interp.call("highlightLine", "url: http://x#frag"))
+    assert "tok-comment" not in line
+    line = js_str(interp.call("highlightLine", "a: 1  # real comment"))
+    assert "tok-comment" in line

@@ -293,3 +293,23 @@ class TestFlowMappings:
         assert yamledit.get_value(text, self.PATH) == {}
         # Still one line; the sphere mapping is intact.
         assert yamledit.get_value(text, self.PATH[:-1] + ["radius"]) == 10.0
+
+
+class TestFlowRenderingEdgeCases:
+    def test_dict_nested_in_list_inside_flow_mapping(self):
+        text = yamledit.set_value(
+            "m: {a: 1}\n", ["m", "b"], {"layers": [{"t": 1.0, "n": 2.0}]}
+        )
+        assert yaml.safe_load(text)["m"] == {
+            "a": 1, "b": {"layers": [{"t": 1.0, "n": 2.0}]}
+        }
+
+    def test_insert_after_trailing_comma(self):
+        text = yamledit.set_value("m: {a: 1,}\n", ["m", "b"], 2.0)
+        assert yaml.safe_load(text)["m"] == {"a": 1, "b": 2.0}
+
+    def test_dict_in_list_in_block_context(self):
+        text = yamledit.set_value(
+            "top: 1\n", ["items"], [{"k": 1.0}, {"k": 2.0}]
+        )
+        assert yaml.safe_load(text)["items"] == [{"k": 1.0}, {"k": 2.0}]
