@@ -268,3 +268,20 @@ def test_highlighter_hash_inside_scalar_is_not_a_comment(booted):
     assert "tok-comment" not in line
     line = js_str(interp.call("highlightLine", "a: 1  # real comment"))
     assert "tok-comment" in line
+
+
+def test_watch_mode_subscribes_to_broadcast_feed(server):
+    """Booting with ?watch=1 (the CLI `simulate --watch` live view)
+    must attach the shared SSE consumer to /api/watch."""
+    base, _httpd = server
+    with open(os.path.join(STATIC, "index.html")) as fp:
+        index_html = fp.read()
+    with open(os.path.join(STATIC, "app.js")) as fp:
+        app_js = fp.read()
+    harness = BrowserHarness(base, index_html, search="?watch=1")
+    interp = Interpreter(max_steps=300_000_000)
+    harness.install(interp)
+    interp.run(app_js)
+    assert harness.event_sources, "watch mode never opened an EventSource"
+    assert harness.event_sources[-1].url == "/api/watch"
+    assert interp.get("state")["running"] is True
