@@ -17,6 +17,7 @@ bundle, so a crash at any point loses at most one bundle of work.
 import collections
 import os
 import tempfile
+import time
 
 import numpy as np
 
@@ -177,6 +178,7 @@ def simulate_checkpointed(
     seed=None,
     resume=True,
     stop_after_bundles=None,
+    mesh=None,
     **kwargs,
 ):
     """Trace `num_rays` in bundles, checkpointing after each bundle.
@@ -191,11 +193,25 @@ def simulate_checkpointed(
     `stop_after_bundles` bounds how many bundles this call traces
     (for staged runs and tests); the checkpoint stays resumable.
 
+    ``mesh`` shards each bundle over a device mesh
+    (``parallel.make_photon_mesh()``; `num_rays` and `bundle` must be
+    multiples of the mesh size). Because per-photon keys fold the
+    global photon index, the checkpoint is TOPOLOGY-PORTABLE: a run
+    checkpointed on one mesh resumes bit-exactly on another mesh or on
+    a single device, and vice versa.
+
     Returns an `AccumulatedResult`.
     """
     compiled = kwargs.pop("compiled", None)
     if compiled is None:
         compiled = compile_scene(scene)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        if num_rays % n_dev or bundle % n_dev:
+            raise ValueError(
+                f"num_rays ({num_rays}) and bundle ({bundle}) must be "
+                f"multiples of the mesh size ({n_dev})."
+            )
 
     state = None
     if resume and checkpoint and os.path.exists(checkpoint):
@@ -227,7 +243,11 @@ def simulate_checkpointed(
             seed=seed,
             bundle=bundle,
             fate_scores=(
-                np.zeros((11, compiled.n_components + len(compiled.nodes)))
+                np.zeros((
+                    11,
+                    compiled.n_components + len(compiled.nodes)
+                    + len(tuple(kwargs.get("pathwise") or ())),
+                ))
                 if score else None
             ),
         )
@@ -241,20 +261,32 @@ def simulate_checkpointed(
         if stop_after_bundles is not None and bundles_done >= stop_after_bundles:
             break
         n = min(bundle, num_rays - state.traced)
-        result = simulate(
-            scene, n, seed=state.seed, index_offset=state.traced,
-            compiled=compiled, **kwargs,
-        )
+        if mesh is not None:
+            from pvtrace_tpu.parallel.shard import shard_simulate
+
+            tic = time.perf_counter()
+            data = shard_simulate(
+                scene, n, mesh, seed=state.seed,
+                index_offset=state.traced, compiled=compiled, **kwargs,
+            )
+            bundle_elapsed = time.perf_counter() - tic
+        else:
+            result = simulate(
+                scene, n, seed=state.seed, index_offset=state.traced,
+                compiled=compiled, **kwargs,
+            )
+            data = result.data
+            bundle_elapsed = result.elapsed
         n_rec = max(compiled.n_recorders, 1)
-        state._distinct += result.data["rec_distinct"]
-        state._crossings += result.data["rec_crossings"]
-        state._sums += result.data["rec_sums"].reshape(n_rec, 4, 2)
-        state._bins += result.data["rec_bins"]
-        state._fates += result.data["fates"]
+        state._distinct += data["rec_distinct"]
+        state._crossings += data["rec_crossings"]
+        state._sums += data["rec_sums"].reshape(n_rec, 4, 2)
+        state._bins += data["rec_bins"]
+        state._fates += data["fates"]
         if score:
-            state._fate_scores += result.data["fate_scores"]
+            state._fate_scores += data["fate_scores"]
         state.traced += n
-        state.elapsed += result.elapsed
+        state.elapsed += bundle_elapsed
         bundles_done += 1
         if checkpoint:
             state.save(checkpoint)

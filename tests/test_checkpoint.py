@@ -171,3 +171,42 @@ def test_score_checkpoint_mismatch_raises(tmp_path):
         engine.simulate_checkpointed(
             scene, 2000, checkpoint=path, bundle=1000, seed=1, score=True,
         )
+
+
+def test_checkpoint_is_topology_portable(tmp_path):
+    """A run checkpointed on an 8-device mesh resumes bit-exactly on a
+    single device (and matches the uninterrupted single-device run):
+    per-photon keys fold the global photon index, so the mesh shape is
+    not part of the state."""
+    from pvtrace_tpu.parallel import make_photon_mesh
+
+    scene = make_scene()
+    path = str(tmp_path / "mesh-run.npz")
+
+    full = engine.simulate_checkpointed(
+        scene, 6000, checkpoint=None, bundle=1000, seed=17, record_every=0
+    )
+
+    partial = engine.simulate_checkpointed(
+        scene, 6000, checkpoint=path, bundle=1000, seed=17,
+        stop_after_bundles=3, mesh=make_photon_mesh(),
+    )
+    assert not partial.complete and partial.traced == 3000
+
+    resumed = engine.simulate_checkpointed(
+        scene, 6000, checkpoint=path, bundle=1000, seed=17, record_every=0
+    )
+    assert resumed.complete
+    assert tallies(resumed) == tallies(full)
+    assert resumed.fate_counts() == full.fate_counts()
+
+
+def test_checkpoint_mesh_rejects_indivisible_bundle(tmp_path):
+    from pvtrace_tpu.parallel import make_photon_mesh
+
+    scene = make_scene()
+    with pytest.raises(ValueError, match="multiples of the mesh"):
+        engine.simulate_checkpointed(
+            scene, 6000, checkpoint=None, bundle=999, seed=1,
+            mesh=make_photon_mesh(),
+        )
