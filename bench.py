@@ -86,7 +86,16 @@ def main():
     scene = build_scene()
     np.random.seed(0)
 
-    bundle = 32_000_000
+    # Photons per timed call. The budget is a traced argument (lane
+    # regeneration refills dead lanes until it is spent), so one
+    # compiled program serves any budget and per-call memory is
+    # constant; a large budget amortises BOTH the per-call
+    # dispatch/fetch latency of the remote chip link (measured
+    # 0.3-4 s/call on a congested tunnel) and the wavefront drain
+    # tail (traced-loop rate is ~170 M/s at 32 M photons vs ~211 M/s
+    # at 2 B). Kept below 2^31 so every photon id / fate counter
+    # stays inside uint32/int32.
+    bundle = 2_048_000_000
     # Compile + warm up. Lane regeneration with a traced photon budget:
     # the warmup (small N) and the timed runs share one compiled program.
     engine.simulate(scene, 2_000_000, seed=1, record_every=0, dtype=np.float32)
@@ -95,7 +104,7 @@ def main():
     from pvtrace_tpu.utils.profiling import ThroughputMeter
 
     meter = ThroughputMeter()
-    for i in range(3):
+    for i in range(2):
         with meter.measure(bundle):
             engine.simulate(
                 scene, bundle, seed=2 + i, record_every=0, dtype=np.float32
