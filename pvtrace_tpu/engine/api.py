@@ -364,6 +364,32 @@ def _get_tracer(compiled, cfg, lanes=None):
     return fn
 
 
+def _check_budget(num_rays, index_offset=0):
+    """Reject budgets that would wrap the tracer's integer ranges.
+
+    Photon ids are uint32 (`index_offset + [0, num_rays)` feeds the
+    per-photon threefry streams) — a wrap would silently reuse random
+    streams; fate/recorder counters are int32. Both bounds are per
+    call: stream bigger runs in bundles (`simulate_stream`) and sum the
+    integer tallies in int64 on the host.
+    """
+    if num_rays <= 0:
+        raise ValueError(f"num_rays must be positive, got {num_rays}")
+    if num_rays > 2 ** 31 - 1:
+        raise ValueError(
+            f"num_rays ({num_rays}) exceeds the int32 tally counters; "
+            "trace in bundles with simulate_stream / index_offset and "
+            "sum the integer tallies in int64 on the host."
+        )
+    if index_offset < 0 or index_offset + num_rays > 2 ** 32:
+        raise ValueError(
+            f"photon ids index_offset + [0, num_rays) = "
+            f"[{index_offset}, {index_offset + num_rays}) must fit in "
+            "uint32 — a wrap would silently reuse per-photon random "
+            "streams."
+        )
+
+
 def simulate(
     scene,
     num_rays,
@@ -422,6 +448,7 @@ def simulate(
 
     if emit_method not in EMIT_METHODS:
         raise ValueError(f"emit_method must be one of {sorted(EMIT_METHODS)}")
+    _check_budget(num_rays, index_offset)
     if compiled is None:
         compiled = compile_scene(scene)
     if seed is None:

@@ -265,6 +265,9 @@ def shard_simulate(scene, num_rays, mesh, seed=None, maxsteps=1000,
             "shard_simulate is tallies-only (record_every=0); use "
             "engine.simulate for event-log histories."
         )
+    from pvtrace_tpu.engine.api import _check_budget
+
+    _check_budget(num_rays, index_offset)
     if compiled is None:
         compiled = compile_scene(scene)
     if seed is None:

@@ -445,3 +445,19 @@ def test_many_recorders_exact_vs_log():
             got = rec.histogram(h)[-1]
             want = expect.histogram(h)[-1]
             assert np.array_equal(got, want), (name, h)
+
+
+def test_budget_guard_rejects_integer_wrap():
+    """Photon ids are uint32 and tally counters int32: budgets or
+    offsets that would wrap must fail loudly (a silent uint32 wrap
+    would reuse per-photon random streams; engine/api.py::_check_budget)."""
+    scene, _box = make_fresnel_scene()
+    with pytest.raises(ValueError, match="int32"):
+        engine.simulate(scene, 2 ** 31, seed=1, record_every=0)
+    with pytest.raises(ValueError, match="uint32"):
+        engine.simulate(
+            scene, 1_000, seed=1, record_every=0,
+            index_offset=2 ** 32 - 500,
+        )
+    with pytest.raises(ValueError, match="positive"):
+        engine.simulate(scene, 0, seed=1, record_every=0)
