@@ -302,3 +302,18 @@ def test_lsc_gradient_mesh_matches_single_device():
         sharded["gradient"], single["gradient"], rtol=1e-9, atol=1e-12
     )
     assert sharded["component"] == single["component"]
+
+
+def test_shard_simulate_budget_guard():
+    """The sharded entry point enforces the same uint32/int32 budget
+    bounds as engine.simulate, before any compile work."""
+    from pvtrace_tpu.parallel.shard import shard_simulate
+
+    scene = lsc_scene()
+    mesh = make_photon_mesh()
+    with pytest.raises(ValueError, match="int32"):
+        shard_simulate(scene, 2 ** 31, mesh, seed=1)
+    with pytest.raises(ValueError, match="uint32"):
+        shard_simulate(
+            scene, 800, mesh, seed=1, index_offset=2 ** 32 - 400
+        )
