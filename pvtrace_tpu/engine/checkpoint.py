@@ -174,7 +174,7 @@ def simulate_checkpointed(
     scene,
     num_rays,
     checkpoint,
-    bundle=1_000_000,
+    bundle=16_000_000,
     seed=None,
     resume=True,
     stop_after_bundles=None,
@@ -192,6 +192,13 @@ def simulate_checkpointed(
 
     `stop_after_bundles` bounds how many bundles this call traces
     (for staged runs and tests); the checkpoint stays resumable.
+
+    `bundle` trades crash-loss window against per-call overhead: each
+    bundle pays one dispatch + one result fetch (expensive on remote
+    chip links — docs/PERF.md), so bigger bundles run faster but lose
+    more work on a crash. The 16 M default also keeps on-device f32
+    score accumulators (``score=True`` runs) in their exact range;
+    tally-only runs can go much larger (any budget < 2^31).
 
     ``mesh`` shards each bundle over a device mesh
     (``parallel.make_photon_mesh()``; `num_rays` and `bundle` must be
