@@ -589,6 +589,14 @@ def simulate_stream(scene, num_rays, bundle=50000, seed=None, **kwargs):
     """
     if seed is None:
         seed = int(np.random.randint(0, 2 ** 31 - 1))
+    if num_rays > 2 ** 32:
+        # Fail up front, not at the bundle whose photon ids would wrap
+        # uint32 mid-stream (_check_budget rejects it per bundle too).
+        raise ValueError(
+            f"num_rays ({num_rays}) exceeds the 2^32 photon-id space "
+            "of one stream; run several streams with distinct seeds "
+            "and sum their tallies."
+        )
     compiled = kwargs.pop("compiled", None)
     if compiled is None:
         compiled = compile_scene(scene)

@@ -209,6 +209,14 @@ def simulate_checkpointed(
 
     Returns an `AccumulatedResult`.
     """
+    if num_rays > 2 ** 32:
+        # Fail up front, not at the bundle whose photon ids would wrap
+        # uint32 (one run owns the contiguous id range [0, num_rays)).
+        raise ValueError(
+            f"num_rays ({num_rays}) exceeds the 2^32 photon-id space "
+            "of one run; split into several runs with distinct seeds "
+            "and sum their tallies."
+        )
     compiled = kwargs.pop("compiled", None)
     if compiled is None:
         compiled = compile_scene(scene)

@@ -461,3 +461,16 @@ def test_budget_guard_rejects_integer_wrap():
         )
     with pytest.raises(ValueError, match="positive"):
         engine.simulate(scene, 0, seed=1, record_every=0)
+
+
+def test_stream_and_checkpoint_reject_id_space_overflow():
+    """Streams and checkpointed runs own the contiguous photon-id range
+    [0, num_rays): budgets past 2^32 must fail up front, not at the
+    bundle whose uint32 ids would wrap mid-run."""
+    scene, _box = make_fresnel_scene()
+    with pytest.raises(ValueError, match="2\\^32"):
+        next(engine.simulate_stream(scene, 2 ** 32 + 8, seed=1))
+    with pytest.raises(ValueError, match="2\\^32"):
+        engine.simulate_checkpointed(
+            scene, 2 ** 32 + 8, checkpoint=None, seed=1
+        )
